@@ -1,0 +1,145 @@
+"""Tests for the FactorizedTopK corpus metric (score- and id-based modes).
+
+Mirrors the reference's `metrics/factorized_top_k_test.py`.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from recommenders_tpu import metrics
+from recommenders_tpu.layers import factorized_top_k
+
+
+def _setup(num_queries=10, corpus=500, dim=8, seed=0):
+    rng = np.random.RandomState(seed)
+    corpus_emb = rng.normal(size=(corpus, dim)).astype(np.float32)
+    # True candidates are rows of the corpus.
+    true_idx = rng.randint(0, corpus, size=num_queries)
+    queries = rng.normal(size=(num_queries, dim)).astype(np.float32)
+    return queries, corpus_emb, true_idx
+
+
+def _expected_accuracy(queries, corpus_emb, true_idx, k):
+    """Fraction of queries whose true candidate scores in the top k."""
+    scores = queries @ corpus_emb.T
+    pos = scores[np.arange(len(true_idx)), true_idx]
+    num_higher = (scores > pos[:, None]).sum(axis=1)
+    return (num_higher < k).mean()
+
+
+@pytest.mark.parametrize("ks", [(1, 5, 10), (1, 50, 100)])
+def test_score_based_matches_numpy(ks):
+    queries, corpus_emb, true_idx = _setup()
+    index = factorized_top_k.BruteForce(k=max(ks)).index(
+        jnp.asarray(corpus_emb)
+    )
+    metric = metrics.FactorizedTopK(candidates=index, ks=ks)
+    state = metric.init()
+    state = metric.update(
+        state,
+        jnp.asarray(queries),
+        jnp.asarray(corpus_emb[true_idx]),
+    )
+    results = metric.result(state)
+    for k in ks:
+        expected = _expected_accuracy(queries, corpus_emb, true_idx, k)
+        got = float(
+            results[f"factorized_top_k/top_{k}_categorical_accuracy"]
+        )
+        assert got == pytest.approx(expected, abs=1e-6)
+
+
+def test_id_based_matches_numpy():
+    queries, corpus_emb, true_idx = _setup(seed=1)
+    ks = (1, 5, 10)
+    index = factorized_top_k.BruteForce(k=max(ks)).index(
+        jnp.asarray(corpus_emb), jnp.arange(corpus_emb.shape[0])
+    )
+    metric = metrics.FactorizedTopK(candidates=index, ks=ks)
+    state = metric.init()
+    state = metric.update(
+        state,
+        jnp.asarray(queries),
+        jnp.asarray(corpus_emb[true_idx]),
+        true_candidate_ids=jnp.asarray(true_idx),
+    )
+    results = metric.result(state)
+
+    scores = queries @ corpus_emb.T
+    for k in ks:
+        # Id-based ground truth: true id among top-k by argsort.
+        top = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        expected = np.mean(
+            [true_idx[i] in top[i] for i in range(len(true_idx))]
+        )
+        got = float(
+            results[f"factorized_top_k/top_{k}_categorical_accuracy"]
+        )
+        assert got == pytest.approx(expected, abs=1e-6)
+
+
+def test_streaming_accumulation_over_batches():
+    queries, corpus_emb, true_idx = _setup(num_queries=16, seed=2)
+    metric = metrics.FactorizedTopK(
+        candidates=factorized_top_k.Streaming(k=10, chunk_size=128).index(
+            jnp.asarray(corpus_emb)
+        ),
+        ks=(1, 10),
+    )
+    state = metric.init()
+    # Two batches of 8.
+    for s in range(0, 16, 8):
+        state = metric.update(
+            state,
+            jnp.asarray(queries[s : s + 8]),
+            jnp.asarray(corpus_emb[true_idx[s : s + 8]]),
+        )
+    results = metric.result(state)
+    for k in (1, 10):
+        expected = _expected_accuracy(queries, corpus_emb, true_idx, k)
+        got = float(
+            results[f"factorized_top_k/top_{k}_categorical_accuracy"]
+        )
+        assert got == pytest.approx(expected, abs=1e-6)
+
+
+def test_sample_weights():
+    queries, corpus_emb, true_idx = _setup(num_queries=4, seed=3)
+    weights = np.asarray([1.0, 0.0, 2.0, 1.0], np.float32)
+    index = factorized_top_k.BruteForce(k=5).index(jnp.asarray(corpus_emb))
+    metric = metrics.FactorizedTopK(candidates=index, ks=(5,))
+    state = metric.init()
+    state = metric.update(
+        state,
+        jnp.asarray(queries),
+        jnp.asarray(corpus_emb[true_idx]),
+        sample_weight=jnp.asarray(weights),
+    )
+    got = float(
+        metric.result(state)["factorized_top_k/top_5_categorical_accuracy"]
+    )
+
+    scores = queries @ corpus_emb.T
+    pos = scores[np.arange(4), true_idx]
+    hits = ((scores > pos[:, None]).sum(axis=1) < 5).astype(np.float32)
+    expected = (hits * weights).sum() / weights.sum()
+    assert got == pytest.approx(expected, abs=1e-6)
+
+
+def test_raw_candidates_auto_wrapped():
+    queries, corpus_emb, true_idx = _setup(seed=4)
+    metric = metrics.FactorizedTopK(
+        candidates=jnp.asarray(corpus_emb), ks=(1, 10)
+    )
+    state = metric.init()
+    state = metric.update(
+        state,
+        jnp.asarray(queries),
+        jnp.asarray(corpus_emb[true_idx]),
+    )
+    results = metric.result(state)
+    expected = _expected_accuracy(queries, corpus_emb, true_idx, 10)
+    got = float(results["factorized_top_k/top_10_categorical_accuracy"])
+    assert got == pytest.approx(expected, abs=1e-6)
