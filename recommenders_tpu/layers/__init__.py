@@ -1,6 +1,8 @@
 """Layers: loss shaping, retrieval indexes, feature interactions, blocks."""
 
+from recommenders_tpu.layers import blocks
 from recommenders_tpu.layers import factorized_top_k
+from recommenders_tpu.layers import feature_interaction
 from recommenders_tpu.layers import loss
 
-__all__ = ["factorized_top_k", "loss"]
+__all__ = ["blocks", "factorized_top_k", "feature_interaction", "loss"]

@@ -1,0 +1,19 @@
+"""Parallelism: mesh conventions, shardings, distributed top-k."""
+
+from recommenders_tpu.parallel.mesh import DATA_AXIS
+from recommenders_tpu.parallel.mesh import MODEL_AXIS
+from recommenders_tpu.parallel.mesh import batch_shardings
+from recommenders_tpu.parallel.mesh import create_mesh
+from recommenders_tpu.parallel.mesh import local_data_parallel_mesh
+from recommenders_tpu.parallel.mesh import replicated
+from recommenders_tpu.parallel.mesh import shard_batch
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "batch_shardings",
+    "create_mesh",
+    "local_data_parallel_mesh",
+    "replicated",
+    "shard_batch",
+]
