@@ -1,0 +1,121 @@
+"""Declarative embedding configuration: TableConfig / FeatureConfig.
+
+TPU-native counterpart of `tf.tpu.experimental.embedding.TableConfig` /
+`FeatureConfig` as used by the reference's TPUEmbedding layer
+(`tensorflow_recommenders/layers/embedding/tpu_embedding_layer.py:125-177`):
+tables declare vocabulary/dim/combiner/initializer/optimizer; features
+reference a table (several features may share one) and optionally declare
+sequence outputs.
+
+Plain frozen dataclasses — no registry, no global state. Hashable so they
+can be fields of flax modules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+
+Array = jax.Array
+Initializer = Callable[..., Array]
+
+VALID_COMBINERS = ("sum", "mean", "sqrtn")
+
+# Id value marking padding positions in fixed-length id matrices. TF uses
+# sparse/ragged tensors; static-shape TPU code uses dense [B, L] ids with
+# this sentinel instead.
+PAD_ID = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerSpec:
+    """Per-table sparse-optimizer spec (applied shard-local).
+
+    Mirrors the role of `tf.tpu.experimental.embedding.{SGD,Adagrad,Adam,
+    FTRL}` objects accepted by the reference layer
+    (tpu_embedding_layer.py:1014-1082). `kind` selects the update rule in
+    `recommenders_tpu.embedding.sparse_optimizer`.
+    """
+
+    kind: str = "adagrad"  # sgd | adagrad | adam | ftrl
+    learning_rate: float = 0.01
+    initial_accumulator_value: float = 0.1
+    beta1: float = 0.9
+    beta2: float = 0.999
+    epsilon: float = 1e-7
+    # FTRL parameters.
+    learning_rate_power: float = -0.5
+    l1_regularization_strength: float = 0.0
+    l2_regularization_strength: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TableConfig:
+    """Configuration for one embedding table.
+
+    Attributes:
+      vocabulary_size: Number of rows (ids in `[0, vocabulary_size)`).
+      dim: Embedding width.
+      name: Unique table name (also the parameter name).
+      combiner: How multi-valent feature lookups reduce over the sequence
+        axis: "sum" | "mean" | "sqrtn".
+      initializer: Param initializer `(key, shape, dtype) -> Array`;
+        defaults to truncated normal with stddev `1/sqrt(dim)` (the TF TPU
+        embedding default).
+      optimizer: Per-table sparse optimizer for the engine's decoupled
+        update path; None inherits the collection-level optimizer.
+    """
+
+    vocabulary_size: int
+    dim: int
+    name: str
+    combiner: str = "mean"
+    initializer: Optional[Initializer] = None
+    optimizer: Optional[OptimizerSpec] = None
+
+    def __post_init__(self):
+        if self.combiner not in VALID_COMBINERS:
+            raise ValueError(
+                f"combiner must be one of {VALID_COMBINERS}, got "
+                f"{self.combiner!r}"
+            )
+        if self.vocabulary_size <= 0 or self.dim <= 0:
+            raise ValueError(
+                "vocabulary_size and dim must be positive, got "
+                f"{self.vocabulary_size} and {self.dim}."
+            )
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Configuration for one input feature.
+
+    Attributes:
+      table: The table this feature looks up (tables may be shared).
+      name: Feature name (the key in the input features dict).
+      max_sequence_length: If > 0, the lookup output keeps the sequence
+        axis (`[B, L, dim]`, padding rows zeroed) instead of combining.
+      output_shape: Optional trailing batch shape override (rarely needed;
+        kept for config parity).
+    """
+
+    table: TableConfig
+    name: str
+    max_sequence_length: int = 0
+    output_shape: Optional[Tuple[int, ...]] = None
+
+
+def default_initializer(dim: int) -> Initializer:
+    """Truncated normal, stddev 1/sqrt(dim)."""
+    import jax.numpy as jnp  # Local to avoid import cycles at module load.
+    from jax import random
+
+    def init(key, shape, dtype=jnp.float32):
+        return (
+            random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+            / (dim ** 0.5)
+        )
+
+    return init
