@@ -240,8 +240,12 @@ class AUC(Metric):
         )
 
     def init(self) -> State:
-        z = jnp.zeros((self.num_thresholds,), jnp.float32)
-        return {"tp": z, "fp": z, "tn": z, "fn": z}
+        # Four distinct buffers: sharing one array would alias leaves of the
+        # train-state pytree and break buffer donation in the jitted step.
+        def z():
+            return jnp.zeros((self.num_thresholds,), jnp.float32)
+
+        return {"tp": z(), "fp": z(), "tn": z(), "fn": z()}
 
     def update(self, state, labels, predictions, sample_weight=None) -> State:
         labels = jnp.reshape(jnp.asarray(labels, jnp.float32), (-1,))

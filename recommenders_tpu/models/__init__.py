@@ -3,5 +3,6 @@
 from recommenders_tpu.models.base import Model
 from recommenders_tpu.models.base import TrainState
 from recommenders_tpu.models.base import Trainer
+from recommenders_tpu.models.ranking import Ranking
 
-__all__ = ["Model", "TrainState", "Trainer"]
+__all__ = ["Model", "Ranking", "TrainState", "Trainer"]
