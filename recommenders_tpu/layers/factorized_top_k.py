@@ -333,3 +333,16 @@ def _streaming_merge_step(queries, emb, ids, state, k):
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def __getattr__(name):
+    # Lazy re-export for API parity with the reference, where ScaNN lives
+    # in the same module (layers/factorized_top_k.py:613). Deferred to
+    # avoid a circular import (approximate imports the TopK base here).
+    if name == "ScaNN":
+        from recommenders_tpu.layers import approximate
+
+        return approximate.ScaNN
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}"
+    )

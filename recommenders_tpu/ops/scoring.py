@@ -1,0 +1,253 @@
+"""Fused corpus-scoring kernels (Pallas/TPU) for retrieval serving.
+
+The hot serving op is `queries [Q, D] × corpus [N, D] → top-k`, the
+counterpart of the reference's BruteForce matmul+top_k and of ScaNN's C++
+scorer (`tensorflow_recommenders/layers/factorized_top_k.py:586-607,
+764-788`). Two device paths:
+
+  - `exact_top_k`: XLA matmul + `lax.top_k`. XLA already tiles the matmul
+    onto the MXU and fuses the partial sort; best for moderate corpora.
+  - `bucketed_top_k`: a Pallas kernel that streams corpus chunks
+    HBM→VMEM (auto double-buffered by the pipeline), scores a query tile
+    on the MXU, and folds scores into a per-bucket running argmax held in
+    VMEM — the `[Q, N]` score matrix never exists. A final exact
+    `lax.top_k` over the `[Q, B]` bucket state yields the results.
+    Scores are exact; recall < 1 only from top-k items colliding in one
+    bucket (birthday bound ≈ `1 - k²/2B` for the top-k set — B=4096
+    gives ~0.99 recall@100 on 1M candidates). This is the TPU-native
+    analogue of ScaNN's approximate scoring: same speed/recall dial, no
+    host round-trips.
+
+`lax.top_k` does not lower inside Pallas TPU kernels (no Mosaic support),
+which is why selection is bucketed-argmax in-kernel + exact top-k outside.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+MIN_FLOAT = np.finfo(np.float32).min / 100.0
+
+# Lane width: bucket counts, chunk sizes, and dims pad to this.
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def exact_top_k(
+    queries: Array, candidates: Array, k: int, valid: Optional[Array] = None
+) -> Tuple[Array, Array]:
+    """Exact scoring: one `[Q, N]` MXU matmul + `lax.top_k`."""
+    scores = (queries @ candidates.T).astype(jnp.float32)
+    if valid is not None:
+        scores = jnp.where(valid[None, :], scores, MIN_FLOAT)
+    return jax.lax.top_k(scores, k)
+
+
+def _bucket_kernel(
+    q_ref, c_ref, vals_ref, ids_ref, run_vals, run_ids,
+    *, chunk: int, buckets: int, num_chunks: int, valid_rows: int,
+):
+    """One (query-tile, corpus-chunk) grid step.
+
+    Grid is (num_q_tiles, num_chunks) with chunks minor, so the VMEM
+    running state accumulates across a full corpus sweep per query tile.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        run_vals[:] = jnp.full_like(run_vals, MIN_FLOAT)
+        run_ids[:] = jnp.zeros_like(run_ids)
+
+    # [TQ, C] scores on the MXU (rhs contracted on its feature dim — no
+    # explicit transpose materialized).
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    tq = scores.shape[0]
+    base = j * chunk
+    # Mask padding rows (global row id >= valid_rows) to MIN_FLOAT.
+    col_ids = base + jax.lax.broadcasted_iota(jnp.int32, (tq, chunk), 1)
+    scores = jnp.where(col_ids < valid_rows, scores, MIN_FLOAT)
+
+    # Fold the chunk into per-bucket running argmax: bucket = column % B.
+    for g in range(chunk // buckets):
+        sub = scores[:, g * buckets:(g + 1) * buckets]
+        sub_ids = col_ids[:, g * buckets:(g + 1) * buckets]
+        upd = sub > run_vals[:]
+        run_vals[:] = jnp.where(upd, sub, run_vals[:])
+        run_ids[:] = jnp.where(upd, sub_ids, run_ids[:])
+
+    @pl.when(j == num_chunks - 1)
+    def _():
+        vals_ref[:] = run_vals[:]
+        ids_ref[:] = run_ids[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "buckets", "chunk", "query_tile", "interpret", "valid_rows"
+    ),
+)
+def bucketed_scores(
+    queries: Array,
+    candidates: Array,
+    buckets: int = 2048,
+    chunk: int = 2048,
+    query_tile: int = 256,
+    interpret: bool = False,
+    valid_rows: int = None,
+) -> Tuple[Array, Array]:
+    """Streams the corpus once; returns per-bucket `([Q, B], [Q, B])`
+    max scores and their candidate row ids.
+
+    `candidates` rows beyond the true corpus size must be zero-padded by
+    the caller via `pad_to_multiple`; padding is masked in-kernel.
+
+    VMEM budget ≈ `2·tq·B·8 + tq·C·4 + 2·C·D·4 + tq·D·4` bytes (state +
+    out blocks, score tile, double-buffered chunk, query tile) — the
+    defaults fit a 16 MB-VMEM core; for B=4096 drop `query_tile` to 128.
+    """
+    qn, d = queries.shape
+    n = candidates.shape[0]
+    if valid_rows is None:
+        valid_rows = n
+    if n % chunk != 0:
+        raise ValueError(f"corpus rows {n} not a multiple of chunk {chunk}")
+    if chunk % buckets != 0:
+        raise ValueError(
+            f"chunk ({chunk}) must be a multiple of buckets ({buckets})"
+        )
+    if d % _LANES != 0:
+        raise ValueError(f"embedding dim {d} must be a multiple of {_LANES}")
+    tq = min(query_tile, _round_up(qn, 8))
+    if qn % tq != 0:
+        raise ValueError(f"num queries {qn} not a multiple of tile {tq}")
+    num_chunks = n // chunk
+    grid = (qn // tq, num_chunks)
+
+    kernel = functools.partial(
+        _bucket_kernel,
+        chunk=chunk,
+        buckets=buckets,
+        num_chunks=num_chunks,
+        valid_rows=valid_rows,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tq, buckets), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, buckets), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((qn, buckets), jnp.float32),
+            jax.ShapeDtypeStruct((qn, buckets), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tq, buckets), jnp.float32),
+            pltpu.VMEM((tq, buckets), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qn * n * d,
+            bytes_accessed=n * d * candidates.dtype.itemsize
+            + qn * d * queries.dtype.itemsize
+            + 2 * qn * buckets * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, candidates)
+
+
+def bucketed_top_k(
+    queries: Array,
+    candidates: Array,
+    k: int,
+    buckets: int = 2048,
+    chunk: int = 2048,
+    query_tile: int = 256,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Approximate top-k with exact scores via the bucketed Pallas sweep.
+
+    Returns `([Q, k] scores, [Q, k] candidate-row ids)`, descending.
+    Recall is controlled by `buckets` (see module docstring).
+    """
+    valid_rows = candidates.shape[0]
+    padded = pad_to_multiple(candidates, chunk)
+    qn = queries.shape[0]
+    tq = min(query_tile, _round_up(qn, 8))
+    padded_q = _round_up(qn, tq)
+    if padded_q != qn:
+        queries = jnp.pad(queries, ((0, padded_q - qn), (0, 0)))
+    vals, ids = bucketed_scores(
+        queries,
+        padded,
+        buckets=buckets,
+        chunk=chunk,
+        query_tile=tq,
+        interpret=interpret,
+        valid_rows=valid_rows,
+    )
+    vals, ids = vals[:qn], ids[:qn]
+    k = min(k, min(buckets, valid_rows))
+    top_vals, idx = jax.lax.top_k(vals, k)
+    return top_vals, jnp.take_along_axis(ids, idx, axis=1)
+
+
+def bucketed_top_k_reference(
+    queries: Array, candidates: Array, k: int, buckets: int = 2048
+) -> Tuple[Array, Array]:
+    """Pure-jnp oracle with identical bucket semantics (runs anywhere)."""
+    n = candidates.shape[0]
+    padded_n = _round_up(n, buckets)
+    scores = (queries @ candidates.T).astype(jnp.float32)
+    scores = jnp.pad(
+        scores, ((0, 0), (0, padded_n - n)), constant_values=MIN_FLOAT
+    )
+    ids = jnp.broadcast_to(
+        jnp.arange(padded_n, dtype=jnp.int32), scores.shape
+    )
+    groups = padded_n // buckets
+    gv = scores.reshape(-1, groups, buckets)
+    gi = ids.reshape(-1, groups, buckets)
+    best = jnp.argmax(gv, axis=1)
+    bucket_vals = jnp.take_along_axis(gv, best[:, None, :], axis=1)[:, 0]
+    bucket_ids = jnp.take_along_axis(gi, best[:, None, :], axis=1)[:, 0]
+    k = min(k, min(buckets, n))
+    top_vals, idx = jax.lax.top_k(bucket_vals, k)
+    return top_vals, jnp.take_along_axis(bucket_ids, idx, axis=1)
+
+
+def pad_to_multiple(candidates: Array, multiple: int) -> Array:
+    """Zero-pads corpus rows up to a multiple (padding masked in-kernel)."""
+    n = candidates.shape[0]
+    padded = _round_up(n, multiple)
+    if padded == n:
+        return candidates
+    return jnp.pad(candidates, ((0, padded - n), (0, 0)))

@@ -1,5 +1,7 @@
 """Parallelism: mesh conventions, shardings, distributed top-k."""
 
+from recommenders_tpu.parallel.corpus import ShardedBruteForce
+from recommenders_tpu.parallel.corpus import make_sharded_top_k
 from recommenders_tpu.parallel.mesh import DATA_AXIS
 from recommenders_tpu.parallel.mesh import MODEL_AXIS
 from recommenders_tpu.parallel.mesh import batch_shardings
@@ -11,6 +13,8 @@ from recommenders_tpu.parallel.mesh import shard_batch
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "ShardedBruteForce",
+    "make_sharded_top_k",
     "batch_shardings",
     "create_mesh",
     "local_data_parallel_mesh",

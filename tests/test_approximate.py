@@ -1,0 +1,159 @@
+"""ScaNN-equivalent approximate index tests.
+
+Mirrors the reference's strategy of making ScaNN exact for oracle testing
+(num_leaves=1, `tensorflow_recommenders/layers/factorized_top_k_test.py:
+249-258`), plus recall/quantization/reorder behavior checks.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from recommenders_tpu.layers import approximate
+from recommenders_tpu.ops import scoring
+
+
+def _data(n, d, q, seed=0):
+    rng = np.random.RandomState(seed)
+    return (
+        rng.normal(size=(q, d)).astype(np.float32),
+        rng.normal(size=(n, d)).astype(np.float32),
+    )
+
+
+def test_single_leaf_is_exact():
+    queries, corpus = _data(500, 32, 16)
+    index = approximate.ScaNN(k=10, num_leaves=1, num_leaves_to_search=1)
+    index.index(jnp.asarray(corpus))
+    scores, ids = index(jnp.asarray(queries))
+    ref = corpus @ queries.T
+    ref_ids = np.argsort(-corpus @ queries.T, axis=0)[:10].T
+    np.testing.assert_array_equal(np.asarray(ids), ref_ids)
+    full = queries @ corpus.T
+    np.testing.assert_allclose(
+        np.asarray(scores),
+        np.take_along_axis(full, ref_ids, axis=1),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+def test_partitioned_recall_beats_probe_fraction():
+    """Probing 8/64 leaves must recall far more than 12.5% of true top-k
+    (k-means clusters aligned queries with their neighbors)."""
+    rng = np.random.RandomState(0)
+    # Clustered corpus so partitioning is meaningful.
+    centers = rng.normal(scale=4.0, size=(32, 32)).astype(np.float32)
+    corpus = (
+        centers[rng.randint(0, 32, 4000)]
+        + rng.normal(size=(4000, 32)).astype(np.float32)
+    )
+    queries = (
+        centers[rng.randint(0, 32, 64)]
+        + rng.normal(size=(64, 32)).astype(np.float32)
+    )
+    k = 10
+    _, exact_ids = scoring.exact_top_k(
+        jnp.asarray(queries), jnp.asarray(corpus), k
+    )
+    index = approximate.ScaNN(
+        k=k, num_leaves=64, num_leaves_to_search=8, training_iterations=5
+    )
+    index.index(jnp.asarray(corpus))
+    _, ids = index(jnp.asarray(queries))
+    recall = np.mean(
+        [
+            len(np.intersect1d(np.asarray(exact_ids)[i], np.asarray(ids)[i]))
+            / k
+            for i in range(queries.shape[0])
+        ]
+    )
+    assert recall > 0.8, recall
+
+
+def test_quantized_with_reorder_recovers_exact_scores():
+    queries, corpus = _data(2000, 64, 32, seed=1)
+    index = approximate.ScaNN(
+        k=10,
+        num_leaves=1,
+        num_leaves_to_search=1,
+        quantize=True,
+        num_reordering_candidates=50,
+    )
+    index.index(jnp.asarray(corpus))
+    scores, ids = index(jnp.asarray(queries))
+    full = queries @ corpus.T
+    # Reordered scores are exact dot products of whatever was returned.
+    np.testing.assert_allclose(
+        np.asarray(scores),
+        np.take_along_axis(full, np.asarray(ids), axis=1),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+    # And with a 5x shortlist over a single leaf, ids match exact top-k.
+    ref_ids = np.argsort(-full, axis=1)[:, :10]
+    match = np.mean(np.asarray(ids) == ref_ids)
+    assert match > 0.95, match
+
+
+def test_quantization_error_is_small():
+    queries, corpus = _data(1000, 64, 16, seed=2)
+    exact = approximate.ScaNN(k=10, num_leaves=1, num_leaves_to_search=1)
+    exact.index(jnp.asarray(corpus))
+    quant = approximate.ScaNN(
+        k=10, num_leaves=1, num_leaves_to_search=1, quantize=True
+    )
+    quant.index(jnp.asarray(corpus))
+    es, eids = exact(jnp.asarray(queries))
+    qs, qids = quant(jnp.asarray(queries))
+    overlap = np.mean(
+        [
+            len(np.intersect1d(np.asarray(eids)[i], np.asarray(qids)[i]))
+            / 10
+            for i in range(16)
+        ]
+    )
+    assert overlap > 0.9, overlap
+    np.testing.assert_allclose(
+        np.asarray(qs), np.asarray(es), rtol=0.05, atol=0.5
+    )
+
+
+def test_custom_identifiers_and_exclusions():
+    queries, corpus = _data(300, 32, 8, seed=3)
+    identifiers = (np.arange(300, dtype=np.int64) * 7 + 3)
+    index = approximate.ScaNN(k=5, num_leaves=1, num_leaves_to_search=1)
+    index.index(jnp.asarray(corpus), jnp.asarray(identifiers))
+    scores, ids = index(jnp.asarray(queries))
+    assert set(np.asarray(ids).ravel()) <= set(identifiers)
+
+    exclusions = np.asarray(ids)[:, :2]
+    ex_scores, ex_ids = index.query_with_exclusions(
+        jnp.asarray(queries), jnp.asarray(exclusions), k=5
+    )
+    for i in range(8):
+        assert not set(np.asarray(ex_ids)[i]) & set(exclusions[i])
+
+
+def test_index_from_dataset_batches():
+    queries, corpus = _data(512, 32, 4, seed=4)
+    batches = [
+        (
+            jnp.arange(i, i + 128, dtype=jnp.int32),
+            jnp.asarray(corpus[i:i + 128]),
+        )
+        for i in range(0, 512, 128)
+    ]
+    index = approximate.ScaNN(k=10, num_leaves=1, num_leaves_to_search=1)
+    index.index_from_dataset(batches)
+    _, ids = index(jnp.asarray(queries))
+    ref_ids = np.argsort(-(queries @ corpus.T), axis=1)[:, :10]
+    np.testing.assert_array_equal(np.asarray(ids), ref_ids)
+
+
+def test_is_exact_and_unbuilt_error():
+    index = approximate.ScaNN()
+    assert not index.is_exact()
+    with pytest.raises(ValueError, match="index"):
+        index(jnp.zeros((2, 8)))
