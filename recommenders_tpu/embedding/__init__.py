@@ -11,6 +11,8 @@ from recommenders_tpu.embedding.partial import PartialEmbedding
 from recommenders_tpu.embedding.unified import UnifiedEmbedding
 from recommenders_tpu.embedding.unified import UnifiedEmbeddingConfig
 from recommenders_tpu.embedding import sparse_optimizer
+from recommenders_tpu.embedding.engine import EmbeddingEngine
+from recommenders_tpu.embedding.engine import EngineState
 
 __all__ = [
     "FeatureConfig",
@@ -24,4 +26,6 @@ __all__ = [
     "UnifiedEmbedding",
     "UnifiedEmbeddingConfig",
     "sparse_optimizer",
+    "EmbeddingEngine",
+    "EngineState",
 ]

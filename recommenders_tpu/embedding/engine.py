@@ -1,0 +1,272 @@
+"""Decoupled embedding engine: sparse lookups and updates outside autodiff.
+
+TPU-native counterpart of the TF TPU embedding engine's architecture
+(`tensorflow_recommenders/layers/embedding/tpu_embedding_layer.py:757-856`
+and SURVEY.md §3.4): embedding tables are *not* ordinary autodiffed
+parameters. The reference bridges lookup/update into the Keras step with
+enqueue/dequeue host channels and a `tf.custom_gradient` trap around a
+dummy variable; in JAX the same decoupling is purely functional:
+
+    engine = EmbeddingEngine(feature_configs, mesh=mesh)
+    estate = engine.init(rng)
+    acts = engine.lookup(estate, features)             # gather + combine
+
+    def loss_fn(dense_params, acts):
+        ...                                            # dense model
+    (loss, _), (dgrads, agrads) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(dense_params, acts)
+
+    estate = engine.update(estate, features, agrads)   # row-sparse update
+
+`update` converts activation gradients back to per-row gradients
+(inverting the combiner), folds duplicates, and applies the per-table
+sparse optimizer (SGD/Adagrad/Adam/FTRL with slot state,
+`recommenders_tpu.embedding.sparse_optimizer`) through scatter ops that
+touch only looked-up rows — a dense `[vocab, dim]` gradient is never
+materialized, which is what makes 100M-row tables trainable.
+
+Tables are row-sharded over the mesh's model axis; XLA's GSPMD inserts the
+cross-shard id/gradient routing for the gathers and scatter-adds (the role
+of the SparseCore's internal all-to-all). The whole step stays inside one
+`jit`, so lookup, dense compute, and update fuse into one program.
+
+Use the autodiff path (`embedding.TpuEmbedding`) when tables are small
+enough that dense gradients are acceptable; the engine is the scale path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Mapping, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from recommenders_tpu.embedding import config as config_lib
+from recommenders_tpu.embedding import embedding as embedding_lib
+from recommenders_tpu.embedding import sparse_optimizer
+from recommenders_tpu.parallel import mesh as mesh_lib
+
+Array = jax.Array
+FeatureInput = embedding_lib.FeatureInput
+
+PAD_ID = config_lib.PAD_ID
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class EngineState:
+    """All engine state: one pytree, checkpointable with orbax."""
+
+    tables: Dict[str, Array]
+    slots: Dict[str, Dict[str, Array]]
+    step: Array
+
+
+def _split_feature(
+    feature: FeatureInput,
+) -> Tuple[Array, Optional[Array]]:
+    if isinstance(feature, tuple):
+        return feature
+    return feature, None
+
+
+class EmbeddingEngine:
+    """Sharded embedding tables with decoupled sparse optimization.
+
+    Attributes:
+      feature_configs: Feature declarations (tables may be shared).
+      optimizer: Default `OptimizerSpec` for tables that don't set one.
+      mesh: Device mesh; None runs unsharded (single device / CPU).
+      table_axis: Mesh axis name over which table rows shard.
+      dtype: Table dtype.
+    """
+
+    def __init__(
+        self,
+        feature_configs,
+        optimizer: Optional[config_lib.OptimizerSpec] = None,
+        mesh: Optional[Mesh] = None,
+        table_axis: str = mesh_lib.MODEL_AXIS,
+        dtype=jnp.float32,
+    ) -> None:
+        self.feature_configs = tuple(feature_configs)
+        self.default_optimizer = optimizer or config_lib.OptimizerSpec()
+        self.mesh = mesh
+        self.table_axis = table_axis
+        self.dtype = dtype
+
+        self._tables: Dict[str, config_lib.TableConfig] = {}
+        for fc in self.feature_configs:
+            existing = self._tables.get(fc.table.name)
+            if existing is not None and existing != fc.table:
+                raise ValueError(
+                    f"Two different TableConfigs share the name "
+                    f"{fc.table.name!r}."
+                )
+            self._tables[fc.table.name] = fc.table
+        self._configs = {fc.name: fc for fc in self.feature_configs}
+
+    def _spec(self, tc: config_lib.TableConfig) -> config_lib.OptimizerSpec:
+        return tc.optimizer or self.default_optimizer
+
+    def _sharding(self) -> Optional[NamedSharding]:
+        if self.mesh is None:
+            return None
+        return NamedSharding(self.mesh, P(self.table_axis, None))
+
+    # --- State ------------------------------------------------------------
+
+    def init(self, rng: Array) -> EngineState:
+        """Initializes sharded tables and optimizer slots."""
+        sharding = self._sharding()
+        tables: Dict[str, Array] = {}
+        slots: Dict[str, Dict[str, Array]] = {}
+        for name, tc in self._tables.items():
+            rng, key = jax.random.split(rng)
+            init = tc.initializer or config_lib.default_initializer(tc.dim)
+            padded = embedding_lib._pad_vocab(tc.vocabulary_size)
+
+            def make(key=key, init=init, padded=padded, tc=tc):
+                return init(key, (padded, tc.dim), self.dtype)
+
+            if sharding is not None:
+                table = jax.jit(make, out_shardings=sharding)()
+            else:
+                table = make()
+            tables[name] = table
+            spec = self._spec(tc)
+            if sharding is not None:
+                slots[name] = jax.jit(
+                    lambda t=table, s=spec: sparse_optimizer.init_slots(
+                        s, t
+                    ),
+                    out_shardings=None,
+                )()
+            else:
+                slots[name] = sparse_optimizer.init_slots(spec, table)
+        return EngineState(
+            tables=tables, slots=slots, step=jnp.zeros((), jnp.int32)
+        )
+
+    # --- Forward ----------------------------------------------------------
+
+    def lookup(
+        self, state: EngineState, features: Mapping[str, FeatureInput]
+    ) -> Dict[str, Array]:
+        """Gather + combine activations for each feature. Differentiate the
+        *result* (activations), not this function."""
+        unknown = set(features) - set(self._configs)
+        if unknown:
+            raise ValueError(
+                f"Features {sorted(unknown)} have no FeatureConfig. "
+                f"Known: {sorted(self._configs)}."
+            )
+        out = {}
+        for fname, feature in features.items():
+            fc = self._configs[fname]
+            table = jax.lax.stop_gradient(state.tables[fc.table.name])
+            out[fname] = embedding_lib.lookup_feature(table, fc, feature)
+        return out
+
+    # --- Backward ---------------------------------------------------------
+
+    def _row_grads(
+        self,
+        fc: config_lib.FeatureConfig,
+        feature: FeatureInput,
+        act_grad: Array,
+    ) -> Tuple[Array, Array]:
+        """Inverts the combiner: activation grads → flat (ids, row grads)."""
+        ids, weights = _split_feature(feature)
+        if ids.ndim == 1:
+            grads = jnp.where((ids != PAD_ID)[:, None], act_grad, 0.0)
+            return ids, grads
+
+        valid = (ids != PAD_ID).astype(act_grad.dtype)
+        if fc.max_sequence_length > 0:
+            # Sequence output [B, L, dim]: row grad is the position's grad.
+            grads = act_grad * valid[..., None]
+            return ids.reshape(-1), grads.reshape(-1, act_grad.shape[-1])
+
+        if weights is None:
+            w = valid
+        else:
+            w = weights.astype(act_grad.dtype) * valid
+        combiner = fc.table.combiner
+        if combiner == "sum":
+            scale = w
+        elif combiner == "mean":
+            denom = jnp.maximum(jnp.sum(w, axis=1), 1e-12)
+            scale = w / denom[:, None]
+        elif combiner == "sqrtn":
+            denom = jnp.maximum(
+                jnp.sqrt(jnp.sum(jnp.square(w), axis=1)), 1e-12
+            )
+            scale = w / denom[:, None]
+        else:
+            raise ValueError(f"Unknown combiner {combiner!r}")
+        # d(loss)/d(row e_{b,l}) = scale_{b,l} · d(loss)/d(act_b)
+        grads = scale[..., None] * act_grad[:, None, :]
+        return ids.reshape(-1), grads.reshape(-1, act_grad.shape[-1])
+
+    def update(
+        self,
+        state: EngineState,
+        features: Mapping[str, FeatureInput],
+        activation_grads: Mapping[str, Array],
+    ) -> EngineState:
+        """Applies one sparse-optimizer step from activation gradients.
+
+        Gradients from features sharing one table are concatenated so the
+        table sees a single deduplicated update (matching the engine
+        semantics of one `apply_gradients` per step,
+        tpu_embedding_layer.py:837-845).
+        """
+        per_table_ids: Dict[str, list] = {}
+        per_table_grads: Dict[str, list] = {}
+        for fname, grad in activation_grads.items():
+            fc = self._configs[fname]
+            ids, grads = self._row_grads(fc, features[fname], grad)
+            per_table_ids.setdefault(fc.table.name, []).append(ids)
+            per_table_grads.setdefault(fc.table.name, []).append(grads)
+
+        tables = dict(state.tables)
+        slots = dict(state.slots)
+        for tname, ids_list in per_table_ids.items():
+            tc = self._tables[tname]
+            spec = self._spec(tc)
+            ids = jnp.concatenate(ids_list, axis=0)
+            grads = jnp.concatenate(per_table_grads[tname], axis=0)
+            tables[tname], slots[tname] = sparse_optimizer.apply_sparse(
+                spec, tables[tname], slots[tname], ids, grads, state.step
+            )
+        return EngineState(
+            tables=tables, slots=slots, step=state.step + 1
+        )
+
+    # --- Convenience ------------------------------------------------------
+
+    def grad_and_update(
+        self,
+        state: EngineState,
+        features: Mapping[str, FeatureInput],
+        loss_of_activations,
+    ):
+        """One fused step for losses that are functions of activations only.
+
+        `loss_of_activations(acts) -> loss (or (loss, aux))`. Returns
+        `(new_state, loss, aux)`. For models with dense parameters, call
+        `lookup`/`update` around your own `value_and_grad` instead.
+        """
+        acts = self.lookup(state, features)
+
+        def wrapped(acts):
+            out = loss_of_activations(acts)
+            return out if isinstance(out, tuple) else (out, None)
+
+        (loss, aux), agrads = jax.value_and_grad(wrapped, has_aux=True)(
+            acts
+        )
+        return self.update(state, features, agrads), loss, aux

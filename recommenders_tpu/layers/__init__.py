@@ -5,6 +5,7 @@ from recommenders_tpu.layers import blocks
 from recommenders_tpu.layers import factorized_top_k
 from recommenders_tpu.layers import feature_interaction
 from recommenders_tpu.layers import loss
+from recommenders_tpu.layers import sequential
 
 __all__ = [
     "approximate",
@@ -12,4 +13,5 @@ __all__ = [
     "factorized_top_k",
     "feature_interaction",
     "loss",
+    "sequential",
 ]

@@ -5,6 +5,7 @@ from recommenders_tpu.metrics.base import BinaryAccuracy
 from recommenders_tpu.metrics.base import CategoricalAccuracy
 from recommenders_tpu.metrics.base import Mean
 from recommenders_tpu.metrics.base import MeanAbsoluteError
+from recommenders_tpu.metrics.base import NDCG
 from recommenders_tpu.metrics.base import Metric
 from recommenders_tpu.metrics.base import RootMeanSquaredError
 from recommenders_tpu.metrics.base import Sum
@@ -21,6 +22,7 @@ __all__ = [
     "CategoricalAccuracy",
     "Mean",
     "MeanAbsoluteError",
+    "NDCG",
     "Metric",
     "RootMeanSquaredError",
     "Sum",

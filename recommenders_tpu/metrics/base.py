@@ -292,6 +292,54 @@ class AUC(Metric):
         raise ValueError(f"Unknown curve {self.curve!r}")
 
 
+@dataclasses.dataclass(frozen=True)
+class NDCG(Metric):
+    """Streaming NDCG(@k) over `[B, L]` (labels, predictions) lists.
+
+    Standard exponential gains `(2^label − 1) / log2(1 + rank)`; ties
+    broken by list position (stable argsort). Ragged lists supported via
+    a boolean `mask` argument to `update`.
+    """
+
+    k: Optional[int] = None
+    name: str = "ndcg"
+
+    def init(self) -> State:
+        return Mean().init()
+
+    def update(
+        self,
+        state,
+        labels: Array,
+        predictions: Array,
+        sample_weight: Optional[Array] = None,
+        mask: Optional[Array] = None,
+    ) -> State:
+        labels = jnp.asarray(labels, jnp.float32)
+        predictions = jnp.asarray(predictions, jnp.float32)
+        if mask is None:
+            mask = jnp.ones(labels.shape, bool)
+        length = labels.shape[1]
+        cutoff = self.k if self.k is not None else length
+
+        sort_key = jnp.where(mask, predictions, -jnp.inf)
+        order = jnp.argsort(-sort_key, axis=1, stable=True)
+        gains = jnp.where(mask, jnp.power(2.0, labels) - 1.0, 0.0)
+        sorted_gains = jnp.take_along_axis(gains, order, axis=1)
+        positions = jnp.arange(1, length + 1, dtype=jnp.float32)
+        discounts = jnp.where(
+            positions <= cutoff, 1.0 / jnp.log2(1.0 + positions), 0.0
+        )
+        dcg = jnp.sum(sorted_gains * discounts[None], axis=1)
+        ideal_gains = jnp.sort(gains, axis=1)[:, ::-1]
+        ideal = jnp.sum(ideal_gains * discounts[None], axis=1)
+        ndcg = jnp.where(ideal > 0, dcg / jnp.maximum(ideal, 1e-12), 0.0)
+        return Mean().update(state, ndcg, sample_weight)
+
+    def result(self, state) -> Array:
+        return Mean().result(state)
+
+
 def init_all(metrics: Dict[str, Metric]) -> Dict[str, State]:
     """Initializes a dict of metric states keyed like `metrics`."""
     return {name: m.init() for name, m in metrics.items()}

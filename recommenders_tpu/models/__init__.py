@@ -3,6 +3,19 @@
 from recommenders_tpu.models.base import Model
 from recommenders_tpu.models.base import TrainState
 from recommenders_tpu.models.base import Trainer
+from recommenders_tpu.models.multitask import Multitask
 from recommenders_tpu.models.ranking import Ranking
+from recommenders_tpu.models.retrieval import EmbeddingTower
+from recommenders_tpu.models.retrieval import SequenceTower
+from recommenders_tpu.models.retrieval import TwoTowerRetrieval
 
-__all__ = ["Model", "Ranking", "TrainState", "Trainer"]
+__all__ = [
+    "EmbeddingTower",
+    "Model",
+    "Multitask",
+    "Ranking",
+    "SequenceTower",
+    "TrainState",
+    "Trainer",
+    "TwoTowerRetrieval",
+]

@@ -1,0 +1,193 @@
+"""Prebuilt two-tower retrieval models (incl. sequential towers).
+
+The reference builds these by hand in its tutorials (README quickstart,
+`docs/examples/{basic_retrieval,deep_recommenders,sequential_retrieval}
+.ipynb`): a query tower and a candidate tower feeding
+`tfrs.tasks.Retrieval`. This module packages that composition:
+
+  - `EmbeddingTower`: id → embedding → optional MLP.
+  - `SequenceTower`: `[B, L]` padded id history → embeddings → GRU or
+    self-attention encoder → optional MLP (the sequential-retrieval user
+    tower).
+  - `TwoTowerRetrieval`: wires two towers into the retrieval task with the
+    task's knobs (temperature, accidental-hit removal, log-q correction,
+    hard negatives) surfaced as model fields, and batch top-k accuracy
+    metrics. Corpus-level `FactorizedTopK` evaluation runs externally
+    against an index built from `candidate_embeddings()` (the tutorials'
+    pattern of passing `compute_metrics=not training`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from recommenders_tpu.embedding import config as config_lib
+from recommenders_tpu.layers import blocks
+from recommenders_tpu.layers import sequential as sequential_lib
+from recommenders_tpu.metrics import base as metrics_base
+from recommenders_tpu.models import base as models_base
+from recommenders_tpu.tasks import retrieval as retrieval_task
+
+Array = jax.Array
+ModuleFactory = Callable[[], nn.Module]
+
+PAD_ID = config_lib.PAD_ID
+
+
+class EmbeddingTower(nn.Module):
+    """Scalar-id tower: embedding lookup plus an optional MLP head.
+
+    Attributes:
+      vocab_size: Id vocabulary.
+      embedding_dim: Embedding width.
+      mlp_units: Optional dense stack on top (output width = last entry).
+    """
+
+    vocab_size: int
+    embedding_dim: int
+    mlp_units: Sequence[int] = ()
+
+    @nn.compact
+    def __call__(self, ids: Array) -> Array:
+        x = nn.Embed(self.vocab_size, self.embedding_dim)(
+            jnp.maximum(ids, 0)
+        )
+        if self.mlp_units:
+            x = blocks.MLP(units=tuple(self.mlp_units))(x)
+        return x
+
+
+class SequenceTower(nn.Module):
+    """History tower: padded `[B, L]` ids → encoder → embedding.
+
+    Attributes:
+      vocab_size: Id vocabulary.
+      embedding_dim: Item-embedding width (also the output width unless an
+        MLP head is configured).
+      encoder: `"gru"` or `"attention"`.
+      encoder_units: GRU hidden width (defaults to `embedding_dim`).
+      mlp_units: Optional dense stack on top.
+    """
+
+    vocab_size: int
+    embedding_dim: int
+    encoder: str = "gru"
+    encoder_units: Optional[int] = None
+    mlp_units: Sequence[int] = ()
+
+    @nn.compact
+    def __call__(self, ids: Array) -> Array:
+        mask = ids != PAD_ID
+        x = nn.Embed(self.vocab_size, self.embedding_dim)(
+            jnp.maximum(ids, 0)
+        )
+        x = x * mask[..., None].astype(x.dtype)
+        if self.encoder == "gru":
+            x = sequential_lib.GRUEncoder(
+                units=self.encoder_units or self.embedding_dim
+            )(x, mask)
+        elif self.encoder == "attention":
+            x = sequential_lib.SelfAttentionEncoder(
+                out_dim=self.encoder_units or self.embedding_dim
+            )(x, mask)
+        else:
+            raise ValueError(
+                f"encoder must be 'gru' or 'attention', got {self.encoder!r}"
+            )
+        if self.mlp_units:
+            x = blocks.MLP(units=tuple(self.mlp_units))(x)
+        return x
+
+
+class TwoTowerRetrieval(models_base.Model):
+    """Two-tower retrieval model with in-batch sampled softmax.
+
+    Input batches carry `query_key` and `candidate_key` entries (each the
+    input to its tower), optional `sample_weight`, and optional
+    `candidate_sampling_probability` for log-q correction.
+
+    Attributes:
+      query_tower: Factory for the query tower.
+      candidate_tower: Factory for the candidate tower.
+      query_key: Batch key feeding the query tower.
+      candidate_key: Batch key feeding the candidate tower (also used as
+        candidate ids for accidental-hit removal when ids are scalar).
+      temperature: Softmax temperature.
+      remove_accidental_hits: Mask in-batch negatives that share the
+        positive's id.
+      num_hard_negatives: Keep only this many top negatives in the loss.
+      batch_metric_ks: Cutoffs for in-batch top-k categorical accuracy.
+    """
+
+    query_tower: ModuleFactory = lambda: EmbeddingTower(1000, 32)
+    candidate_tower: ModuleFactory = lambda: EmbeddingTower(1000, 32)
+    query_key: str = "user_id"
+    candidate_key: str = "movie_id"
+    temperature: Optional[float] = None
+    remove_accidental_hits: bool = False
+    num_hard_negatives: Optional[int] = None
+    batch_metric_ks: Tuple[int, ...] = (1, 10)
+
+    def setup(self):
+        self._query = self.query_tower()
+        self._candidate = self.candidate_tower()
+        self.task = retrieval_task.Retrieval(
+            temperature=self.temperature,
+            remove_accidental_hits=self.remove_accidental_hits,
+            num_hard_negatives=self.num_hard_negatives,
+        )
+
+    def query_embeddings(self, batch) -> Array:
+        return self._query(batch[self.query_key])
+
+    def candidate_embeddings(self, batch) -> Array:
+        return self._candidate(batch[self.candidate_key])
+
+    def compute_loss(self, batch, training: bool = False):
+        q = self.query_embeddings(batch)
+        c = self.candidate_embeddings(batch)
+        candidate_ids = None
+        if self.remove_accidental_hits:
+            ids = batch[self.candidate_key]
+            if ids.ndim != 1:
+                raise ValueError(
+                    "Accidental-hit removal needs scalar candidate ids; "
+                    f"got shape {ids.shape} for {self.candidate_key!r}."
+                )
+            candidate_ids = ids
+        out = self.task(
+            q,
+            c,
+            sample_weight=batch.get("sample_weight"),
+            candidate_sampling_probability=batch.get(
+                "candidate_sampling_probability"
+            ),
+            candidate_ids=candidate_ids,
+        )
+        return out.loss, {"retrieval": out}
+
+    def metrics(self) -> Dict[str, metrics_base.Metric]:
+        return {
+            f"batch_top_{k}_categorical_accuracy":
+                metrics_base.TopKCategoricalAccuracy(k=k)
+            for k in self.batch_metric_ks
+        }
+
+    def update_metrics(self, states, batch, aux):
+        out: retrieval_task.RetrievalOutput = aux["retrieval"]
+        weight = batch.get("sample_weight")
+        labels = jnp.eye(
+            out.scores.shape[0], out.scores.shape[1], dtype=jnp.float32
+        )
+        new_states = {}
+        for k in self.batch_metric_ks:
+            name = f"batch_top_{k}_categorical_accuracy"
+            metric = metrics_base.TopKCategoricalAccuracy(k=k)
+            new_states[name] = metric.update(
+                states[name], labels, out.scores, weight
+            )
+        return new_states

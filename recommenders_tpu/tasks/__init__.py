@@ -1,5 +1,6 @@
 """Recommender tasks: loss definitions for retrieval and ranking."""
 
+from recommenders_tpu.tasks import listwise
 from recommenders_tpu.tasks.base import Task
 from recommenders_tpu.tasks.ranking import Ranking
 from recommenders_tpu.tasks.ranking import RankingOutput
@@ -11,6 +12,7 @@ from recommenders_tpu.tasks.retrieval import cross_replica_concat
 from recommenders_tpu.tasks.retrieval import softmax_cross_entropy
 
 __all__ = [
+    "listwise",
     "Task",
     "Ranking",
     "RankingOutput",
