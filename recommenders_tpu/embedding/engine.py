@@ -246,6 +246,56 @@ class EmbeddingEngine:
             tables=tables, slots=slots, step=state.step + 1
         )
 
+    # --- Pipelined (1-step-stale) execution -------------------------------
+
+    def pipelined_grad_and_update(
+        self,
+        state: EngineState,
+        pending,
+        features: Mapping[str, FeatureInput],
+        loss_of_activations,
+    ):
+        """One step with SparseCore-style overlap: the *previous* step's
+        embedding gradients are applied while this step's lookup + dense
+        compute run — inside one jit the scatter update and the forward
+        pass have no data dependence, so XLA schedules them concurrently.
+        Embedding tables are one step stale, the same trade the reference
+        enables with `pipeline_execution_with_tensor_core`
+        (tpu_embedding_layer.py:619-622,704-708).
+
+        Args:
+          state: Engine state.
+          pending: `None` on the first step, else the pending update
+            returned by the previous call.
+          features: This step's id features.
+          loss_of_activations: `acts -> loss` (or `(loss, aux)`).
+
+        Returns:
+          `(new_state, new_pending, loss, aux)`. Call `flush` on the last
+          pending update after the final step.
+        """
+        if pending is not None:
+            state = self.update(
+                state, pending["features"], pending["grads"]
+            )
+        acts = self.lookup(state, features)
+
+        def wrapped(acts):
+            out = loss_of_activations(acts)
+            return out if isinstance(out, tuple) else (out, None)
+
+        (loss, aux), agrads = jax.value_and_grad(wrapped, has_aux=True)(
+            acts
+        )
+        new_pending = {"features": features, "grads": agrads}
+        return state, new_pending, loss, aux
+
+    def flush(self, state: EngineState, pending) -> EngineState:
+        """Applies the final pending update after the last pipelined step."""
+        if pending is None:
+            return state
+        return self.update(state, pending["features"], pending["grads"])
+
     # --- Convenience ------------------------------------------------------
 
     def grad_and_update(

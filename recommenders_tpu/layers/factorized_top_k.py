@@ -322,6 +322,104 @@ class Streaming(TopK):
         return True
 
 
+class Bucketed(TopK):
+    """High-throughput serving index on the fused Pallas scoring kernel.
+
+    Streams the corpus HBM→VMEM once per query batch with a per-bucket
+    running argmax (`recommenders_tpu.ops.scoring.bucketed_top_k`) —
+    the `[q, corpus]` score matrix never materializes. Returned scores are
+    exact dot products; recall < 1 only from top-k items colliding in one
+    bucket (≈ `1 − k²/2·buckets`), so like the reference's ScaNN layer
+    this reports `is_exact() == False` and corpus evaluation must be
+    id-based. On CPU backends the jnp reference implementation with
+    identical bucket semantics runs instead of the kernel.
+
+    Attributes:
+      query_fn: Optional query-embedding function.
+      buckets: Selection width (recall dial). Must divide `chunk`.
+      chunk: Corpus rows per kernel step.
+    """
+
+    def __init__(
+        self,
+        query_fn: Optional[Callable[[Array], Array]] = None,
+        k: int = 10,
+        buckets: int = 2048,
+        chunk: int = 2048,
+    ) -> None:
+        super().__init__(k=k)
+        self.query_fn = query_fn
+        self._buckets = buckets
+        self._chunk = chunk
+        self._candidates: Optional[Array] = None
+        self._identifiers: Optional[Array] = None
+        self._num_candidates = 0
+
+    def index(
+        self,
+        candidates: Array,
+        identifiers: Optional[Array] = None,
+    ) -> "Bucketed":
+        from recommenders_tpu.ops import scoring  # Local: optional dep.
+
+        candidates = jnp.asarray(candidates)
+        if candidates.ndim != 2:
+            raise ValueError(
+                f"The candidates tensor must be 2D (got {candidates.shape})."
+            )
+        if candidates.shape[1] % 128 != 0:
+            raise ValueError(
+                "Bucketed requires the embedding dim to be a multiple of "
+                f"128 (the TPU lane width); got {candidates.shape[1]}. Pad "
+                "the embeddings or use BruteForce."
+            )
+        self._num_candidates = candidates.shape[0]
+        if identifiers is not None:
+            identifiers = jnp.asarray(identifiers)
+            if identifiers.shape[0] != self._num_candidates:
+                raise ValueError(
+                    "The candidates and identifiers tensors must have the "
+                    f"same number of rows (got {self._num_candidates} and "
+                    f"{identifiers.shape[0]})."
+                )
+        self._candidates = candidates
+        self._identifiers = identifiers
+        return self
+
+    def __call__(
+        self, queries: Array, k: Optional[int] = None
+    ) -> Tuple[Array, Array]:
+        from recommenders_tpu.ops import scoring
+
+        k = k if k is not None else self._k
+        if self._candidates is None:
+            raise ValueError(
+                "The `index` method must be called first to "
+                "create the retrieval index."
+            )
+        if self.query_fn is not None:
+            queries = self.query_fn(queries)
+        k = min(k, self._num_candidates)
+        if jax.default_backend() == "cpu":
+            scores, rows = scoring.bucketed_top_k_reference(
+                queries, self._candidates, k, buckets=self._buckets
+            )
+        else:
+            scores, rows = scoring.bucketed_top_k(
+                queries,
+                self._candidates,
+                k,
+                buckets=self._buckets,
+                chunk=self._chunk,
+            )
+        if self._identifiers is not None:
+            return scores, jnp.take(self._identifiers, rows)
+        return scores, rows
+
+    def is_exact(self) -> bool:
+        return False
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _streaming_merge_step(queries, emb, ids, state, k):
     scores = (queries @ emb.T).astype(jnp.float32)

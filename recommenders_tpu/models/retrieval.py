@@ -19,7 +19,7 @@ The reference builds these by hand in its tutorials (README quickstart,
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -113,9 +113,11 @@ class TwoTowerRetrieval(models_base.Model):
     Attributes:
       query_tower: Factory for the query tower.
       candidate_tower: Factory for the candidate tower.
-      query_key: Batch key feeding the query tower.
+      query_key: Batch key feeding the query tower; a tuple of keys passes
+        the tower a sub-dict (context-feature towers).
       candidate_key: Batch key feeding the candidate tower (also used as
-        candidate ids for accidental-hit removal when ids are scalar).
+        candidate ids for accidental-hit removal when ids are scalar). May
+        also be a tuple of keys like `query_key`.
       temperature: Softmax temperature.
       remove_accidental_hits: Mask in-batch negatives that share the
         positive's id.
@@ -125,8 +127,8 @@ class TwoTowerRetrieval(models_base.Model):
 
     query_tower: ModuleFactory = lambda: EmbeddingTower(1000, 32)
     candidate_tower: ModuleFactory = lambda: EmbeddingTower(1000, 32)
-    query_key: str = "user_id"
-    candidate_key: str = "movie_id"
+    query_key: Union[str, Tuple[str, ...]] = "user_id"
+    candidate_key: Union[str, Tuple[str, ...]] = "movie_id"
     temperature: Optional[float] = None
     remove_accidental_hits: bool = False
     num_hard_negatives: Optional[int] = None
@@ -141,11 +143,19 @@ class TwoTowerRetrieval(models_base.Model):
             num_hard_negatives=self.num_hard_negatives,
         )
 
+    @staticmethod
+    def _tower_input(batch, key):
+        if isinstance(key, tuple):
+            return {k: batch[k] for k in key}
+        return batch[key]
+
     def query_embeddings(self, batch) -> Array:
-        return self._query(batch[self.query_key])
+        return self._query(self._tower_input(batch, self.query_key))
 
     def candidate_embeddings(self, batch) -> Array:
-        return self._candidate(batch[self.candidate_key])
+        return self._candidate(
+            self._tower_input(batch, self.candidate_key)
+        )
 
     def compute_loss(self, batch, training: bool = False):
         q = self.query_embeddings(batch)

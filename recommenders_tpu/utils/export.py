@@ -1,0 +1,147 @@
+"""Serving export: serialize retrieval indexes / model fns to StableHLO.
+
+The reference's serving story is `tf.saved_model.save` of a trained index
+layer, loaded by TF Serving (optionally the ScaNN serving container,
+`tensorflow_recommenders/layers/factorized_top_k.py:623-628,728-730`).
+The JAX-native equivalent is `jax.export`: the jitted query computation is
+serialized as versioned StableHLO plus its weights, loadable by any
+process (Python or a C++ host binary linking PJRT) without the model code.
+
+Two artifact layouts:
+  - `export_fn` / `load_fn`: one serialized computation with weights baked
+    in as constants — the BruteForce/Bucketed serving case.
+  - `export_index` / `load_index`: a directory with the computation and
+    the corpus arrays stored separately (npz), so re-indexing does not
+    recompile — mirrors `index_from_dataset` → save → serve.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax import export as jax_export
+
+Array = jax.Array
+
+_FN_FILE = "computation.stablehlo"
+_DATA_FILE = "arrays.npz"
+
+
+def export_fn(path: str, fn: Callable, *example_args) -> None:
+    """Serializes `jit(fn)` specialized to the example args' shapes."""
+    specs = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        tuple(example_args),
+    )
+    exported = jax_export.export(jax.jit(fn))(*specs)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _FN_FILE), "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_fn(path: str) -> Callable:
+    """Loads a serialized computation; returns a callable."""
+    with open(os.path.join(path, _FN_FILE), "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    return exported.call
+
+
+def export_index(
+    path: str,
+    index,
+    example_queries: Array,
+    k: int,
+) -> None:
+    """Exports a built retrieval index's query path + its corpus arrays.
+
+    Works for any index whose query is `(queries, candidates, identifiers)
+    → (scores, ids)` on device arrays — BruteForce and Bucketed. The
+    corpus is saved as data (npz), the query computation as StableHLO with
+    the corpus as a runtime argument, so serving processes can swap
+    corpora without recompiling.
+    """
+    from recommenders_tpu.layers import factorized_top_k
+
+    candidates = index._candidates
+    if candidates is None:
+        raise ValueError("The index must be built (`index(...)`) first.")
+    identifiers = getattr(index, "_identifiers", None)
+    if identifiers is None:
+        identifiers = np.arange(candidates.shape[0], dtype=np.int32)
+
+    if isinstance(index, factorized_top_k.BruteForce):
+        # BruteForce stores a padded corpus + validity mask; bake the mask
+        # into the exported computation's inputs.
+        valid = index._valid
+
+        def query(queries, candidates, identifiers, valid):
+            from recommenders_tpu.ops import scoring
+
+            scores, rows = scoring.exact_top_k(
+                queries, candidates, k, valid=valid
+            )
+            return scores, jax.numpy.take(identifiers, rows)
+
+        extra = (valid,)
+    else:
+        valid = None
+
+        def query(queries, candidates, identifiers):
+            scores, rows = _query_for(index)(queries, candidates, k)
+            return scores, jax.numpy.take(identifiers, rows)
+
+        extra = ()
+
+    os.makedirs(path, exist_ok=True)
+    arrays = {
+        "candidates": np.asarray(candidates),
+        "identifiers": np.asarray(identifiers),
+    }
+    if valid is not None:
+        arrays["valid"] = np.asarray(valid)
+    np.savez(os.path.join(path, _DATA_FILE), **arrays)
+    export_fn(
+        path, query, example_queries, candidates, identifiers, *extra
+    )
+
+
+def load_index(path: str) -> Callable[[Array], Tuple[Array, Array]]:
+    """Loads an exported index; returns `queries → (scores, ids)`."""
+    data = np.load(os.path.join(path, _DATA_FILE))
+    candidates = data["candidates"]
+    identifiers = data["identifiers"]
+    extra = (data["valid"],) if "valid" in data.files else ()
+    call = load_fn(path)
+
+    def serve(queries):
+        return call(queries, candidates, identifiers, *extra)
+
+    return serve
+
+
+def _query_for(index):
+    """Returns the pure `(queries, candidates, k) → (scores, rows)` fn."""
+    from recommenders_tpu.layers import factorized_top_k
+    from recommenders_tpu.ops import scoring
+
+    if isinstance(index, factorized_top_k.Bucketed):
+        buckets, chunk = index._buckets, index._chunk
+
+        def bucketed(queries, candidates, k):
+            if jax.default_backend() == "cpu":
+                return scoring.bucketed_top_k_reference(
+                    queries, candidates, k, buckets=buckets
+                )
+            return scoring.bucketed_top_k(
+                queries, candidates, k, buckets=buckets, chunk=chunk
+            )
+
+        return bucketed
+
+    raise ValueError(
+        f"export_index supports BruteForce and Bucketed indexes; got "
+        f"{type(index).__name__}."
+    )

@@ -1,0 +1,117 @@
+"""Serving-export tests: StableHLO round-trips for model fns and indexes
+(the reference's SavedModel save/load equality tests,
+layers/factorized_top_k_test.py:71-83)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from recommenders_tpu.layers import factorized_top_k
+from recommenders_tpu.utils import export as export_lib
+
+
+def _data(n, d, q, seed=0):
+    rng = np.random.RandomState(seed)
+    return (
+        jnp.asarray(rng.normal(size=(q, d)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(n, d)).astype(np.float32)),
+    )
+
+
+def test_fn_roundtrip(tmp_path):
+    def score(q, c):
+        return q @ c.T
+
+    queries, corpus = _data(64, 16, 8)
+    path = str(tmp_path / "fn")
+    export_lib.export_fn(path, score, queries, corpus)
+    served = export_lib.load_fn(path)
+    np.testing.assert_allclose(
+        np.asarray(served(queries, corpus)),
+        np.asarray(score(queries, corpus)),
+        rtol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("n", [512, 500])  # Padded corpus too.
+def test_brute_force_index_roundtrip(tmp_path, n):
+    queries, corpus = _data(n, 32, 8)
+    identifiers = jnp.asarray(np.arange(n, dtype=np.int64) * 7)
+    index = factorized_top_k.BruteForce(k=10).index(corpus, identifiers)
+    expected_scores, expected_ids = index(queries)
+
+    path = str(tmp_path / "bf")
+    export_lib.export_index(path, index, queries, k=10)
+    served = export_lib.load_index(path)
+    scores, ids = served(queries)
+    np.testing.assert_array_equal(
+        np.asarray(ids), np.asarray(expected_ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(expected_scores), rtol=1e-5
+    )
+
+
+def test_bucketed_index_roundtrip(tmp_path):
+    queries, corpus = _data(1024, 128, 8, seed=1)
+    index = factorized_top_k.Bucketed(
+        k=10, buckets=512, chunk=512
+    ).index(corpus)
+    expected_scores, expected_ids = index(queries)
+
+    path = str(tmp_path / "bk")
+    export_lib.export_index(path, index, queries, k=10)
+    served = export_lib.load_index(path)
+    scores, ids = served(queries)
+    np.testing.assert_array_equal(
+        np.asarray(ids), np.asarray(expected_ids)
+    )
+
+
+def test_export_unbuilt_raises(tmp_path):
+    index = factorized_top_k.BruteForce(k=5)
+    with pytest.raises(ValueError, match="built"):
+        export_lib.export_index(
+            str(tmp_path / "x"), index, jnp.zeros((2, 8)), k=5
+        )
+
+
+def test_export_model_forward(tmp_path):
+    """A trained model's query tower exports and serves standalone."""
+    import optax
+
+    from recommenders_tpu import data as data_lib
+    from recommenders_tpu import models as models_lib
+
+    ds = data_lib.synthetic_movielens(
+        num_users=50, num_movies=80, num_interactions=2000, seed=2
+    )
+    model = models_lib.TwoTowerRetrieval(
+        query_tower=lambda: models_lib.EmbeddingTower(50, 16),
+        candidate_tower=lambda: models_lib.EmbeddingTower(80, 16),
+    )
+    trainer = models_lib.Trainer(model, optax.adagrad(0.1))
+    sample = next(data_lib.batched(ds.as_dict(), 128)())
+    state = trainer.init(jax.random.PRNGKey(0), sample)
+    state, _ = trainer.train_step(state, sample)
+
+    params = jax.device_get(state.params)
+
+    def query_tower(user_ids):
+        return model.apply(
+            {"params": params},
+            {"user_id": user_ids},
+            method="query_embeddings",
+        )
+
+    path = str(tmp_path / "tower")
+    user_ids = jnp.asarray([1, 2, 3], jnp.int32)
+    export_lib.export_fn(path, query_tower, user_ids)
+    served = export_lib.load_fn(path)
+    np.testing.assert_allclose(
+        np.asarray(served(user_ids)),
+        np.asarray(query_tower(user_ids)),
+        rtol=1e-5,
+    )
