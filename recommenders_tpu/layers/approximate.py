@@ -103,31 +103,37 @@ def _pack_leaves(
     capacity: int,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Buckets rows into fixed-capacity leaves, spilling overflow to the
-    next-nearest leaf with space. Returns (embs, ids, rows, valid)."""
+    next-nearest leaf with space. Returns (embs, ids, rows, valid).
+
+    Vectorized for large corpora: slots are assigned by a grouped
+    cumulative count (no Python loop over rows), and the full
+    `[N, num_leaves]` affinity ranking is computed lazily only for the
+    (rare) overflow rows — never for the whole corpus.
+    """
     num_leaves = centroids.shape[0]
     n, dim = candidates.shape
-    # Full affinity ranking per point (num_leaves is small: ≤ few thousand).
-    affinity = (
-        candidates @ centroids.T
-        - 0.5 * np.sum(np.square(centroids), axis=1)[None, :]
-    )
-    order = np.argsort(-affinity, axis=1)
+    assignments = assign(candidates, centroids)
 
-    fill = np.zeros((num_leaves,), np.int32)
-    leaf_of = np.empty((n,), np.int32)
+    # Slot within each leaf = rank of the row among its leaf's rows.
+    order = np.argsort(assignments, kind="stable")
+    sorted_assign = assignments[order]
+    group_start = np.searchsorted(sorted_assign, np.arange(num_leaves))
+    slot_sorted = np.arange(n) - group_start[sorted_assign]
+    leaf_of = assignments.astype(np.int32).copy()
     slot_of = np.empty((n,), np.int32)
-    # First pass: nearest leaf if it has space; overflow resolved after.
-    overflow = []
-    for row in range(n):
-        leaf = order[row, 0]
-        if fill[leaf] < capacity:
-            leaf_of[row] = leaf
-            slot_of[row] = fill[leaf]
-            fill[leaf] += 1
-        else:
-            overflow.append(row)
-    for row in overflow:
-        for leaf in order[row, 1:]:
+    slot_of[order] = slot_sorted.astype(np.int32)
+
+    fill = np.minimum(
+        np.bincount(assignments, minlength=num_leaves), capacity
+    ).astype(np.int32)
+    overflow_rows = np.where(slot_of >= capacity)[0]
+    for row in overflow_rows:
+        # Rank this row's affinity to all centroids (cheap per row).
+        affinity = (
+            candidates[row] @ centroids.T
+            - 0.5 * np.sum(np.square(centroids), axis=1)
+        )
+        for leaf in np.argsort(-affinity):
             if fill[leaf] < capacity:
                 leaf_of[row] = leaf
                 slot_of[row] = fill[leaf]
@@ -233,6 +239,9 @@ class ScaNN(factorized_top_k.TopK):
         from the float corpus before the final top-k.
       leaf_capacity: Rows per leaf; defaults to `1.3 × N / num_leaves`
         rounded up (spill handles imbalance).
+      query_batch: Queries scored per search invocation. The probe gather
+        materializes `[q, probes, capacity, dim]`, so large query batches
+        are processed in chunks of this size to bound memory.
       seed: k-means seed.
     """
 
@@ -246,6 +255,7 @@ class ScaNN(factorized_top_k.TopK):
         quantize: bool = False,
         num_reordering_candidates: Optional[int] = None,
         leaf_capacity: Optional[int] = None,
+        query_batch: int = 256,
         seed: int = 0,
     ) -> None:
         super().__init__(k=k)
@@ -256,6 +266,7 @@ class ScaNN(factorized_top_k.TopK):
         self._quantize = quantize
         self._reorder_n = num_reordering_candidates
         self._leaf_capacity = leaf_capacity
+        self._query_batch = query_batch
         self._seed = seed
         self._built = False
 
@@ -338,6 +349,28 @@ class ScaNN(factorized_top_k.TopK):
             queries = self.query_fn(queries)
         k = min(k, self._num_candidates)
 
+        # Bound the probe-gather footprint: process query chunks of
+        # `query_batch` (padded so one compiled shape serves all chunks).
+        qn = queries.shape[0]
+        qb = self._query_batch
+        if qn > qb:
+            padded_q = ((qn + qb - 1) // qb) * qb
+            if padded_q != qn:
+                queries = jnp.pad(
+                    queries, ((0, padded_q - qn), (0, 0))
+                )
+            parts = [
+                self._query_chunk(queries[i:i + qb], k)
+                for i in range(0, padded_q, qb)
+            ]
+            scores = jnp.concatenate([p[0] for p in parts])[:qn]
+            ids = jnp.concatenate([p[1] for p in parts])[:qn]
+            return scores, ids
+        return self._query_chunk(queries, k)
+
+    def _query_chunk(
+        self, queries: Array, k: int
+    ) -> Tuple[Array, Array]:
         if self._reorder_n:
             shortlist = max(k, self._reorder_n)
             scores, ids, rows = _search(

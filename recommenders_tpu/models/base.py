@@ -125,6 +125,11 @@ class Trainer:
     optimizer: optax.GradientTransformation
     mesh: Optional[jax.sharding.Mesh] = None
     data_axis: str = mesh_lib.DATA_AXIS
+    # Metric/loss-state accumulation inside the jitted step. Disabling it
+    # shrinks the train-state pytree (every extra leaf adds per-dispatch
+    # overhead) for throughput-critical loops; `fit` then reports loss
+    # from the step's return value only.
+    track_stats: bool = True
 
     def __post_init__(self):
         if self.mesh is None:
@@ -161,15 +166,17 @@ class Trainer:
         )()
         self._param_shardings = param_shardings
 
-        metric_objs = self.model.metrics()
+        metric_objs = self.model.metrics() if self.track_stats else {}
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=self.optimizer.init(params),
             metric_states=metrics_base.init_all(metric_objs),
-            loss_states={
-                name: self._mean.init() for name in _LOSS_METRICS
-            },
+            loss_states=(
+                {name: self._mean.init() for name in _LOSS_METRICS}
+                if self.track_stats
+                else {}
+            ),
         )
 
     # --- Steps --------------------------------------------------------
@@ -188,6 +195,7 @@ class Trainer:
         model = self.model
         optimizer = self.optimizer
         mean = self._mean
+        track_stats = self.track_stats
 
         def train_step(state: TrainState, batch: Batch):
             def loss_fn(params):
@@ -204,18 +212,22 @@ class Trainer:
             )
             params = optax.apply_updates(state.params, updates)
 
-            loss_states = {
-                "loss": mean.update(state.loss_states["loss"], loss),
-                "regularization_loss": mean.update(
-                    state.loss_states["regularization_loss"], reg
-                ),
-                "total_loss": mean.update(
-                    state.loss_states["total_loss"], total_loss
-                ),
-            }
-            metric_states = model.update_metrics(
-                state.metric_states, batch, aux
-            )
+            if track_stats:
+                loss_states = {
+                    "loss": mean.update(state.loss_states["loss"], loss),
+                    "regularization_loss": mean.update(
+                        state.loss_states["regularization_loss"], reg
+                    ),
+                    "total_loss": mean.update(
+                        state.loss_states["total_loss"], total_loss
+                    ),
+                }
+                metric_states = model.update_metrics(
+                    state.metric_states, batch, aux
+                )
+            else:
+                loss_states = state.loss_states
+                metric_states = state.metric_states
             new_state = TrainState(
                 step=state.step + 1,
                 params=params,
@@ -275,6 +287,8 @@ class Trainer:
     # --- Loops --------------------------------------------------------
 
     def reset_metrics(self, state: TrainState) -> TrainState:
+        if not self.track_stats:
+            return state
         metric_objs = self.model.metrics()
         return dataclasses.replace(
             state,
@@ -283,6 +297,8 @@ class Trainer:
         )
 
     def metric_results(self, state: TrainState) -> Dict[str, float]:
+        if not self.track_stats:
+            return {}
         metric_objs = self.model.metrics()
         results = {}
         for name, m in metric_objs.items():

@@ -201,3 +201,79 @@ class TwoTowerRetrieval(models_base.Model):
                 states[name], labels, out.scores, weight
             )
         return new_states
+
+
+def evaluate_with_corpus_metrics(
+    trainer,
+    state,
+    eval_batches,
+    candidate_batch,
+    ks: Tuple[int, ...] = (1, 5, 10, 50, 100),
+    index_factory=None,
+    exclusions_key: Optional[str] = None,
+):
+    """Corpus-level FactorizedTopK evaluation of a trained two-tower model.
+
+    The reference runs corpus metrics inside `Retrieval.call` during
+    `model.evaluate` (`tasks/retrieval.py:212-235`, with tutorials passing
+    `compute_metrics=not training`). Here the equivalent loop is explicit:
+    embed the full candidate corpus once, build an index, then stream the
+    evaluation batches through it.
+
+    Args:
+      trainer: The `Trainer` holding the model.
+      state: Trained `TrainState`.
+      eval_batches: Zero-arg factory (or iterable) of evaluation batches.
+      candidate_batch: Batch covering the FULL candidate corpus in corpus
+        order (row i ↔ candidate id i), fed to the candidate tower.
+      ks: Accuracy cutoffs.
+      index_factory: `() -> TopK`; defaults to BruteForce.
+      exclusions_key: Optional batch key with `[B, E]` candidate ids to
+        exclude per query (e.g. train-set watches).
+
+    Returns:
+      Dict of `factorized_top_k/top_K_categorical_accuracy` floats.
+    """
+    from recommenders_tpu.layers import factorized_top_k as ftk
+    from recommenders_tpu.metrics import factorized_top_k as ftk_metric
+
+    model = trainer.model
+    params = {"params": state.params}
+    candidates = model.apply(
+        params, candidate_batch, method="candidate_embeddings"
+    )
+    index = (index_factory or (lambda: ftk.BruteForce()))()
+    index.index(candidates)
+
+    metric = ftk_metric.FactorizedTopK(candidates=index, ks=ks)
+    mstate = metric.init()
+    batches = eval_batches() if callable(eval_batches) else eval_batches
+    for batch in batches:
+        queries = model.apply(
+            params, batch, method="query_embeddings"
+        )
+        true_ids = batch[
+            model.candidate_key
+            if isinstance(model.candidate_key, str)
+            else model.candidate_key[0]
+        ]
+        true_embs = candidates[true_ids]
+        if exclusions_key is not None:
+            scores, ids = index.query_with_exclusions(
+                queries, batch[exclusions_key], k=max(ks)
+            )
+            # Feed pre-queried results through id-based accounting.
+            nan_pad = jnp.isnan(scores)
+            match = (
+                jnp.equal(true_ids[:, None], ids) & ~nan_pad
+            ).astype(jnp.float32)
+            for k in ks:
+                found = jnp.clip(jnp.sum(match[:, :k], axis=1), 0.0, 1.0)
+                mstate[k] = metric._mean.update(mstate[k], found)
+        else:
+            mstate = metric.update(
+                mstate, queries, true_embs, true_candidate_ids=true_ids
+            )
+    return {
+        name: float(v) for name, v in metric.result(mstate).items()
+    }

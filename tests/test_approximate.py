@@ -157,3 +157,18 @@ def test_is_exact_and_unbuilt_error():
     assert not index.is_exact()
     with pytest.raises(ValueError, match="index"):
         index(jnp.zeros((2, 8)))
+
+
+def test_query_chunking_matches_unchunked():
+    queries, corpus = _data(2000, 64, 50, seed=5)
+    kwargs = dict(k=10, num_leaves=20, num_leaves_to_search=5, seed=3)
+    chunked = approximate.ScaNN(query_batch=16, **kwargs)
+    whole = approximate.ScaNN(query_batch=512, **kwargs)
+    chunked.index(jnp.asarray(corpus))
+    whole.index(jnp.asarray(corpus))
+    cs, ci = chunked(jnp.asarray(queries))
+    ws, wi = whole(jnp.asarray(queries))
+    np.testing.assert_array_equal(np.asarray(ci), np.asarray(wi))
+    np.testing.assert_allclose(
+        np.asarray(cs), np.asarray(ws), rtol=1e-5, atol=1e-5
+    )
