@@ -313,6 +313,27 @@ class Trainer:
             results[name] = float(self._mean.result(state.loss_states[name]))
         return results
 
+    def _prefetched(self, dataset):
+        """Yields device-resident batches, transferring one step ahead.
+
+        Synchronous per-step host→device transfer serializes the training
+        loop on dispatch latency (measured: it can dominate the step on
+        remote-attached devices). Overlapping the next batch's transfer
+        with the current step keeps the device queue full — the role of
+        the reference's input prefetch in tf.data.
+        """
+        it = _iter_batches(dataset)
+        try:
+            pending = next(it)
+        except StopIteration:
+            return
+        pending = mesh_lib.shard_batch(pending, self.mesh, self.data_axis)
+        for nxt in it:
+            nxt = mesh_lib.shard_batch(nxt, self.mesh, self.data_axis)
+            yield pending
+            pending = nxt
+        yield pending
+
     def fit(
         self,
         state: TrainState,
@@ -320,23 +341,35 @@ class Trainer:
         epochs: int = 1,
         log_every: int = 0,
         verbose: bool = True,
+        max_in_flight: int = 10,
     ) -> Tuple[TrainState, Dict[str, Any]]:
         """Trains for `epochs` passes over `dataset` (a batch-iter factory).
+
+        Batches are prefetched to device one step ahead, and at most
+        `max_in_flight` steps are enqueued before synchronizing (bounding
+        the live copies of donated state).
 
         Returns the final state and a history dict with per-epoch metric
         results and throughput.
         """
+        if self._train_step is None:
+            self._train_step = self._make_train_step()
         history = {"epochs": []}
         for epoch in range(epochs):
             state = self.reset_metrics(state)
             start = time.perf_counter()
             num_examples = 0
-            for batch in _iter_batches(dataset):
-                state, _ = self.train_step(state, batch)
+            loss = None
+            for i, batch in enumerate(self._prefetched(dataset)):
+                state, loss = self._train_step(state, batch)
                 num_examples += _batch_size(batch)
+                if (i + 1) % max_in_flight == 0:
+                    jax.block_until_ready(loss)
             jax.block_until_ready(state.params)
             elapsed = time.perf_counter() - start
             results = self.metric_results(state)
+            if loss is not None:
+                results.setdefault("loss", float(loss))
             results["examples_per_sec"] = num_examples / max(
                 elapsed, 1e-9
             )

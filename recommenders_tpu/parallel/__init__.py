@@ -3,6 +3,8 @@
 from recommenders_tpu.parallel.corpus import ShardedBruteForce
 from recommenders_tpu.parallel.corpus import make_sharded_top_k
 from recommenders_tpu.parallel.mesh import DATA_AXIS
+from recommenders_tpu.parallel.retrieval_step import PooledNegativesTrainer
+from recommenders_tpu.parallel.retrieval_step import make_pooled_negatives_train_step
 from recommenders_tpu.parallel.mesh import MODEL_AXIS
 from recommenders_tpu.parallel.mesh import batch_shardings
 from recommenders_tpu.parallel.mesh import create_mesh
@@ -13,7 +15,9 @@ from recommenders_tpu.parallel.mesh import shard_batch
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "PooledNegativesTrainer",
     "ShardedBruteForce",
+    "make_pooled_negatives_train_step",
     "make_sharded_top_k",
     "batch_shardings",
     "create_mesh",
