@@ -32,8 +32,8 @@ def main():
     DIM = 64
     NUM_USERS = 65_536
     NUM_ITEMS = 131_072
-    STEPS = 30
-    WARMUP = 5
+    STEPS = 100
+    WARMUP = 10
 
     rng = np.random.RandomState(0)
     # Fresh host batches for every timed step; transfers are pipelined
@@ -81,7 +81,7 @@ def main():
             if offset + i + 1 < len(host_batches):
                 pending = jax.device_put(host_batches[offset + i + 1])
             nonlocal_state[0], loss = train_step(nonlocal_state[0], batch)
-            if (i + 1) % 10 == 0:
+            if (i + 1) % 20 == 0:
                 # Bound the in-flight queue (10 steps deep) without
                 # serializing every dispatch.
                 jax.block_until_ready(loss)

@@ -11,7 +11,7 @@ to a dedicated id (0), matching Keras' default mask/OOV head layout.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterable, List, Sequence, Union
+from typing import Dict, Iterable, Union
 
 import numpy as np
 

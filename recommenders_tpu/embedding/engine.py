@@ -37,7 +37,7 @@ enough that dense gradients are acceptable; the engine is the scale path.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Mapping, Optional, Tuple, Union
+from typing import Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -61,13 +61,17 @@ def dedupe_sum(ids: Array, grads: Array) -> Tuple[Array, Array]:
     return out_ids, out_grads
 
 
-def _safe(ids: Array) -> Array:
-    """Maps PAD_ID to row 0 (whose delta is zeroed by the caller)."""
-    return jnp.maximum(ids, 0)
+def _unique_ids(ids: Array, num_rows) -> Array:
+    """Maps PAD slots to DISTINCT out-of-range rows.
 
-
-def _mask_rows(ids: Array, rows: Array) -> Array:
-    return jnp.where((ids != PAD_ID)[:, None], rows, 0.0)
+    After `dedupe_sum` every real id appears once; padding slots all carry
+    `PAD_ID`, which would otherwise alias one row and force XLA to assume
+    duplicate scatter indices (serializing the scatter). Distinct
+    out-of-range sentinels keep every index unique, and `mode="drop"` /
+    `mode="fill"` make the out-of-range accesses no-ops.
+    """
+    slot = jnp.arange(ids.shape[0], dtype=ids.dtype)
+    return jnp.where(ids == PAD_ID, num_rows + slot, ids)
 
 
 def init_slots(
@@ -108,28 +112,38 @@ def apply_sparse(
     """Applies one sparse update. `ids: [n]`, `grads: [n, dim]`.
 
     Duplicate ids are folded first, so each row receives exactly one
-    update regardless of how many batch elements touched it.
+    update regardless of how many batch elements touched it; all scatters
+    then carry `unique_indices=True` (padding slots map to distinct
+    out-of-range rows dropped by the scatter), letting XLA parallelize
+    the row updates.
     """
     ids, grads = dedupe_sum(ids, grads)
-    safe = _safe(ids)
+    uids = _unique_ids(ids, table.shape[0])
+
+    def read(buf, fill=0.0):
+        return buf.at[uids].get(mode="fill", fill_value=fill)
+
+    def add(buf, rows):
+        return buf.at[uids].add(rows, mode="drop", unique_indices=True)
+
+    def put(buf, rows):
+        return buf.at[uids].set(rows, mode="drop", unique_indices=True)
 
     if spec.kind == "sgd":
-        delta = _mask_rows(ids, -spec.learning_rate * grads)
-        return table.at[safe].add(delta), slots
+        return add(table, -spec.learning_rate * grads), slots
 
     if spec.kind == "adagrad":
-        accum = slots["accumulator"]
-        accum = accum.at[safe].add(_mask_rows(ids, jnp.square(grads)))
-        scale = jax.lax.rsqrt(accum[safe] + 1e-12)
-        delta = _mask_rows(ids, -spec.learning_rate * grads * scale)
-        return table.at[safe].add(delta), {"accumulator": accum}
+        accum = add(slots["accumulator"], jnp.square(grads))
+        scale = jax.lax.rsqrt(read(accum, fill=1.0) + 1e-12)
+        table = add(table, -spec.learning_rate * grads * scale)
+        return table, {"accumulator": accum}
 
     if spec.kind == "adam":
         # Lazy Adam: moments decay only on touched rows (like the TPU
         # embedding engine's sparse Adam).
         m, v = slots["m"], slots["v"]
-        m_rows = spec.beta1 * m[safe] + (1 - spec.beta1) * grads
-        v_rows = spec.beta2 * v[safe] + (1 - spec.beta2) * jnp.square(
+        m_rows = spec.beta1 * read(m) + (1 - spec.beta1) * grads
+        v_rows = spec.beta2 * read(v) + (1 - spec.beta2) * jnp.square(
             grads
         )
         t = step.astype(jnp.float32) + 1.0
@@ -138,11 +152,7 @@ def apply_sparse(
         delta = -spec.learning_rate * m_hat / (
             jnp.sqrt(v_hat) + spec.epsilon
         )
-        valid = (ids != PAD_ID)[:, None]
-        m = m.at[safe].set(jnp.where(valid, m_rows, m[safe]))
-        v = v.at[safe].set(jnp.where(valid, v_rows, v[safe]))
-        table = table.at[safe].add(_mask_rows(ids, delta))
-        return table, {"m": m, "v": v}
+        return add(table, delta), {"m": put(m, m_rows), "v": put(v, v_rows)}
 
     if spec.kind == "ftrl":
         accum, linear = slots["accumulator"], slots["linear"]
@@ -150,23 +160,20 @@ def apply_sparse(
         lrp = spec.learning_rate_power
         l1 = spec.l1_regularization_strength
         l2 = spec.l2_regularization_strength
-        w = table[safe]
-        n_old = accum[safe]
+        w = read(table)
+        n_old = read(accum, fill=1.0)
         n_new = n_old + jnp.square(grads)
         sigma = (jnp.power(n_new, -lrp) - jnp.power(n_old, -lrp)) / lr
-        z_new = linear[safe] + grads - sigma * w
+        z_new = read(linear) + grads - sigma * w
         denom = jnp.power(n_new, -lrp) / lr + 2 * l2
         w_new = jnp.where(
             jnp.abs(z_new) > l1,
             (jnp.sign(z_new) * l1 - z_new) / denom,
             0.0,
         )
-        valid = (ids != PAD_ID)[:, None]
-        accum = accum.at[safe].set(jnp.where(valid, n_new, n_old))
-        linear = linear.at[safe].set(
-            jnp.where(valid, z_new, linear[safe])
+        return (
+            put(table, w_new),
+            {"accumulator": put(accum, n_new), "linear": put(linear, z_new)},
         )
-        table = table.at[safe].set(jnp.where(valid, w_new, w))
-        return table, {"accumulator": accum, "linear": linear}
 
     raise ValueError(f"Unknown optimizer kind {spec.kind!r}")

@@ -9,7 +9,7 @@ composition over the prebuilt towers.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import flax.linen as nn
 import jax

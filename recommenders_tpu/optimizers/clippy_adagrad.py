@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple, Union
 
-import chex
 import jax
 import jax.numpy as jnp
 import optax

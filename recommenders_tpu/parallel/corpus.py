@@ -15,7 +15,6 @@ sharded corpus. On a 1-device mesh it degrades to plain brute force.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple
 
 import jax

@@ -23,7 +23,7 @@ not change the optimization problem.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import flax.linen as nn
 import jax

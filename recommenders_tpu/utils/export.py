@@ -18,7 +18,7 @@ Two artifact layouts:
 from __future__ import annotations
 
 import os
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Tuple
 
 import jax
 import numpy as np
