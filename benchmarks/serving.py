@@ -31,6 +31,14 @@ def main():
     parser.add_argument("--queries", type=int, default=1024)
     parser.add_argument("--k", type=int, default=100)
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument(
+        "--seed",
+        type=int,
+        default=None,
+        help="Data seed; defaults to time-derived. Remote-attached runtimes "
+        "may cache repeated (program, input) pairs, so a FIXED seed can "
+        "report impossibly high qps on re-runs.",
+    )
     args = parser.parse_args()
 
     import jax
@@ -38,7 +46,9 @@ def main():
 
     from recommenders_tpu.layers import approximate, factorized_top_k
 
-    rng = np.random.RandomState(0)
+    seed = args.seed if args.seed is not None else int(time.time()) % 2**31
+    print(f"data seed: {seed}", file=sys.stderr)
+    rng = np.random.RandomState(seed)
     # Clustered corpus/queries (mixture of gaussians): tower embeddings
     # are strongly clustered in practice, and partitioned ANN is
     # meaningless on i.i.d. noise (its honest worst case). The bucketed
