@@ -40,10 +40,12 @@ MODULES = [
     "recommenders_tpu.models.retrieval",
     "recommenders_tpu.models.ranking",
     "recommenders_tpu.models.multitask",
+    "recommenders_tpu.models.hybrid",
     "recommenders_tpu.optimizers.clippy_adagrad",
     "recommenders_tpu.optimizers.composite",
     "recommenders_tpu.parallel.mesh",
     "recommenders_tpu.parallel.corpus",
+    "recommenders_tpu.parallel.retrieval_step",
     "recommenders_tpu.ops.topk",
     "recommenders_tpu.ops.scoring",
     "recommenders_tpu.data.movielens",
