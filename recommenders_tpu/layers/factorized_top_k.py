@@ -293,29 +293,49 @@ class Streaming(TopK):
     def _host_streamed_query(
         self, queries: Array, k: int
     ) -> Tuple[Array, Array]:
-        """Python loop over host batches; per-batch score+merge is jitted."""
+        """Streams host batches with one-step transfer prefetch.
+
+        The next batch's host→device copy is issued while the current
+        batch's jitted score+merge executes (the double-buffering tf.data
+        provides the reference's Streaming layer, here via async
+        `device_put`); the merge chain itself keeps the device busy.
+        """
         q = queries.shape[0]
         state = None
         counter = 0
-        for batch in self._dataset_factory():
+
+        def to_device(batch, counter):
             if isinstance(batch, tuple):
                 ids, emb = batch
-                ids = jnp.asarray(ids)
+                ids = jax.device_put(jnp.asarray(ids))
             else:
                 emb = batch
                 ids = counter + jnp.arange(
                     np.shape(batch)[0], dtype=jnp.int32
                 )
-            emb = jnp.asarray(emb)
+            emb = jax.device_put(jnp.asarray(emb))
+            return ids, emb
+
+        it = iter(self._dataset_factory())
+        try:
+            pending = to_device(next(it), counter)
+        except StopIteration:
+            raise ValueError(
+                "The candidates dataset must not be empty."
+            ) from None
+        while pending is not None:
+            ids, emb = pending
             counter += emb.shape[0]
+            try:
+                pending = to_device(next(it), counter)
+            except StopIteration:
+                pending = None
             if state is None:
                 state = (
                     jnp.full((q, k), MIN_FLOAT, dtype=jnp.float32),
                     jnp.zeros((q, k), dtype=ids.dtype),
                 )
             state = _streaming_merge_step(queries, emb, ids, state, k)
-        if state is None:
-            raise ValueError("The candidates dataset must not be empty.")
         return state
 
     def is_exact(self) -> bool:

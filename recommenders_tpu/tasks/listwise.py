@@ -69,15 +69,22 @@ def pairwise_logistic(
     scores: Array,
     sample_weight: Optional[Array] = None,
     mask: Optional[Array] = None,
+    pair_weights: Optional[Array] = None,
 ) -> Array:
     """Pairwise logistic loss: `log(1 + exp(-(s_i - s_j)))` over pairs with
-    `label_i > label_j` (tensorflow-ranking's PairwiseLogisticLoss)."""
+    `label_i > label_j` (tensorflow-ranking's PairwiseLogisticLoss).
+
+    `pair_weights` optionally weights each `[B, L, L]` pair — see
+    `ndcg_lambda_weights` for the LambdaRank weighting.
+    """
     labels, scores, mask = _prep(labels, scores, mask)
     s_diff = scores[:, :, None] - scores[:, None, :]
     l_diff = labels[:, :, None] - labels[:, None, :]
     valid_pair = (
         (l_diff > 0) & mask[:, :, None] & mask[:, None, :]
     ).astype(jnp.float32)
+    if pair_weights is not None:
+        valid_pair = valid_pair * pair_weights
     # log1p(exp(-x)) computed stably.
     losses = jnp.maximum(-s_diff, 0.0) + jnp.log1p(
         jnp.exp(-jnp.abs(s_diff))
@@ -86,6 +93,68 @@ def pairwise_logistic(
         jnp.sum(valid_pair, axis=(1, 2)), 1e-12
     )
     return _weighted_mean(per_example, sample_weight)
+
+
+def ndcg_lambda_weights(
+    labels: Array,
+    scores: Array,
+    mask: Optional[Array] = None,
+) -> Array:
+    """LambdaRank pair weights: `|ΔNDCG|` of swapping each pair.
+
+    `|ΔNDCG_ij| = |gain_i − gain_j| · |1/log2(1+r_i) − 1/log2(1+r_j)| /
+    maxDCG` with ranks `r` from the current scores — the weighting of
+    tensorflow-ranking's `NDCGLambdaWeight`. Returned as a `[B, L, L]`
+    array (stop-gradient; ranks are treated as constants).
+
+    ```python
+    loss = listwise.pairwise_logistic(
+        labels, scores,
+        pair_weights=listwise.ndcg_lambda_weights(labels, scores))
+    ```
+    """
+    labels, scores, mask = _prep(labels, scores, mask)
+    scores = jax.lax.stop_gradient(scores)
+    length = labels.shape[1]
+
+    sort_key = jnp.where(mask, scores, -jnp.inf)
+    order = jnp.argsort(-sort_key, axis=1, stable=True)
+    # rank[i] = position of item i in the score-descending ordering (1-based)
+    ranks = jnp.zeros_like(order).at[
+        jnp.arange(labels.shape[0])[:, None], order
+    ].set(jnp.arange(1, length + 1)[None, :])
+
+    gains = jnp.where(mask, jnp.power(2.0, labels) - 1.0, 0.0)
+    discounts = 1.0 / jnp.log2(1.0 + ranks.astype(jnp.float32))
+
+    ideal_gains = jnp.sort(gains, axis=1)[:, ::-1]
+    positions = jnp.arange(1, length + 1, dtype=jnp.float32)
+    max_dcg = jnp.sum(
+        ideal_gains / jnp.log2(1.0 + positions)[None], axis=1
+    )
+    inv_max = jnp.where(max_dcg > 0, 1.0 / jnp.maximum(max_dcg, 1e-12), 0.0)
+
+    gain_diff = jnp.abs(gains[:, :, None] - gains[:, None, :])
+    disc_diff = jnp.abs(
+        discounts[:, :, None] - discounts[:, None, :]
+    )
+    return gain_diff * disc_diff * inv_max[:, None, None]
+
+
+def lambdarank(
+    labels: Array,
+    scores: Array,
+    sample_weight: Optional[Array] = None,
+    mask: Optional[Array] = None,
+) -> Array:
+    """Pairwise logistic loss with `|ΔNDCG|` lambda weights (LambdaRank)."""
+    return pairwise_logistic(
+        labels,
+        scores,
+        sample_weight=sample_weight,
+        mask=mask,
+        pair_weights=ndcg_lambda_weights(labels, scores, mask),
+    )
 
 
 def list_mle(

@@ -157,3 +157,55 @@ def test_listwise_pipeline_with_sample_listwise():
     )
     loss = listwise.list_mle(jnp.asarray(lists["rating"]), scores)
     assert np.isfinite(float(loss))
+
+
+# --- LambdaRank -----------------------------------------------------------
+
+
+def test_ndcg_lambda_weights_hand_computed():
+    # Two items, labels [1, 0], scores rank them correctly: ranks [1, 2].
+    labels = jnp.asarray([[1.0, 0.0]])
+    scores = jnp.asarray([[2.0, 1.0]])
+    w = listwise.ndcg_lambda_weights(labels, scores)
+    # gains [1, 0]; discounts [1, 1/log2(3)]; maxDCG = 1.
+    expected = abs(1.0 - 0.0) * abs(1.0 - 1.0 / np.log2(3.0)) / 1.0
+    np.testing.assert_allclose(float(w[0, 0, 1]), expected, rtol=1e-6)
+    np.testing.assert_allclose(float(w[0, 1, 0]), expected, rtol=1e-6)
+    # Same-label pairs carry zero weight.
+    np.testing.assert_allclose(float(w[0, 0, 0]), 0.0)
+
+
+def test_lambdarank_upweights_high_impact_pairs():
+    """Misranking the top item must cost more than misranking the tail."""
+    # Item 0 is highly relevant; items placed far apart in rank.
+    labels = jnp.asarray([[3.0, 0.0, 0.0, 0.0]])
+    top_wrong = jnp.asarray([[0.0, 3.0, 2.0, 1.0]])  # Best item last.
+    tail_wrong = jnp.asarray([[3.0, 0.5, 2.0, 1.0]])  # Mid items swapped.
+    lw_top = float(listwise.lambdarank(labels, top_wrong))
+    lw_tail = float(listwise.lambdarank(labels, tail_wrong))
+    assert lw_top > lw_tail
+
+
+def test_lambdarank_gradient_improves_loss_and_ndcg():
+    from recommenders_tpu import metrics as metrics_lib
+
+    rng = np.random.RandomState(0)
+    labels = jnp.asarray(rng.randint(0, 4, size=(8, 6)), jnp.float32)
+    scores = jnp.asarray(rng.normal(size=(8, 6)), jnp.float32)
+    m = metrics_lib.NDCG()
+    before = float(m.result(m.update(m.init(), labels, scores)))
+    for _ in range(20):
+        g = jax.grad(lambda s: listwise.lambdarank(labels, s))(scores)
+        scores = scores - 0.5 * g
+    after = float(m.result(m.update(m.init(), labels, scores)))
+    assert after > before, (before, after)
+
+
+def test_lambdarank_works_with_ranking_task():
+    from recommenders_tpu import tasks as tasks_lib
+
+    task = tasks_lib.Ranking(loss_fn=listwise.lambdarank)
+    out = task(
+        jnp.asarray([[2.0, 1.0, 0.0]]), jnp.asarray([[0.1, 0.5, -0.2]])
+    )
+    assert np.isfinite(float(out.loss))
