@@ -29,6 +29,7 @@ class ListScoringModel(models.Model):
             "mse": tasks.mean_squared_error,
             "list_mle": listwise.list_mle,
             "pairwise": listwise.pairwise_logistic,
+            "lambdarank": listwise.lambdarank,
             "approx_ndcg": listwise.approx_ndcg,
         }[self.loss_kind]
         self.task = tasks.Ranking(loss_fn=loss_fn)
@@ -77,7 +78,7 @@ def run(loss_kind: str, epochs: int = 2):
 
 
 def main():
-    for kind in ("mse", "pairwise", "list_mle", "approx_ndcg"):
+    for kind in ("mse", "pairwise", "lambdarank", "list_mle", "approx_ndcg"):
         run(kind)
 
 

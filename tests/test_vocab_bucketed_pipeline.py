@@ -201,3 +201,25 @@ def test_pipelined_first_step_applies_no_update():
         np.asarray(flushed.tables["t"])[1:4],
         np.asarray(state.tables["t"])[1:4],
     )
+
+
+def test_bucketed_bf16_corpus_matches_f32_reference():
+    """bf16 storage (halves HBM/VMEM) keeps near-identical retrieval."""
+    queries, corpus = _data(2048, 128, 16, seed=7)
+    f32 = factorized_top_k.Bucketed(k=20, buckets=512, chunk=512)
+    bf16 = factorized_top_k.Bucketed(
+        k=20, buckets=512, chunk=512, corpus_dtype=jnp.bfloat16
+    )
+    f32.index(corpus)
+    bf16.index(corpus)
+    assert bf16._candidates.dtype == jnp.bfloat16
+    _, i32 = f32(queries)
+    _, i16 = bf16(queries)
+    overlap = np.mean(
+        [
+            len(np.intersect1d(np.asarray(i32)[q], np.asarray(i16)[q]))
+            / 20
+            for q in range(16)
+        ]
+    )
+    assert overlap > 0.9, overlap
