@@ -105,6 +105,10 @@ class TrainState:
     opt_state: Any
     metric_states: Any
     loss_states: Any  # Streaming means of loss/regularization/total loss.
+    # PRNG key split fresh every step and handed to the model as the
+    # "dropout" and "sampling" rng streams (stochastic layers / negative
+    # sampling inside compute_loss).
+    rng: Optional[Array] = None
 
 
 _LOSS_METRICS = ("loss", "regularization_loss", "total_loss")
@@ -143,6 +147,7 @@ class Trainer:
 
     def init(self, rng: Array, sample_batch: Batch) -> TrainState:
         """Initializes params (sharded per their partitioning metadata)."""
+        rng, step_rng = jax.random.split(rng)
         abstract = jax.eval_shape(
             lambda: self.model.init(
                 rng, sample_batch, training=True, method="compute_loss"
@@ -177,18 +182,25 @@ class Trainer:
                 if self.track_stats
                 else {}
             ),
+            rng=step_rng,
         )
 
     # --- Steps --------------------------------------------------------
 
-    def _loss_and_aux(self, params, batch, training: bool):
+    def _loss_and_aux(self, params, batch, training: bool, rng=None):
         def run(model):
             out = model.compute_loss(batch, training=training)
             loss, aux = out if isinstance(out, tuple) else (out, {})
             reg = model.regularization_loss()
             return loss, reg, aux
 
-        (loss, reg, aux) = nn.apply(run, self.model)({"params": params})
+        rngs = None
+        if rng is not None:
+            dropout_rng, sampling_rng = jax.random.split(rng)
+            rngs = {"dropout": dropout_rng, "sampling": sampling_rng}
+        (loss, reg, aux) = nn.apply(run, self.model)(
+            {"params": params}, rngs=rngs
+        )
         return loss, reg, aux
 
     def _make_train_step(self):
@@ -198,9 +210,14 @@ class Trainer:
         track_stats = self.track_stats
 
         def train_step(state: TrainState, batch: Batch):
+            if state.rng is not None:
+                next_rng, step_rng = jax.random.split(state.rng)
+            else:
+                next_rng = step_rng = None
+
             def loss_fn(params):
                 loss, reg, aux = self._loss_and_aux(
-                    params, batch, training=True
+                    params, batch, training=True, rng=step_rng
                 )
                 return loss + reg, (loss, reg, aux)
 
@@ -234,6 +251,7 @@ class Trainer:
                 opt_state=opt_state,
                 metric_states=metric_states,
                 loss_states=loss_states,
+                rng=next_rng,
             )
             return new_state, total_loss
 

@@ -123,6 +123,16 @@ class TwoTowerRetrieval(models_base.Model):
         positive's id.
       num_hard_negatives: Keep only this many top negatives in the loss.
       batch_metric_ks: Cutoffs for in-batch top-k categorical accuracy.
+      num_extra_negatives: If > 0, this many uniformly sampled candidate
+        ids are embedded and appended as shared extra negatives each
+        training step (the papers' sampled-softmax augmentation of
+        in-batch negatives; the reference supports extra negatives only
+        as extra candidate rows supplied by the caller). Uniform sampling
+        adds a constant log-q term, so no correction is needed for the
+        sampled rows; the in-batch rows can still carry
+        `candidate_sampling_probability`. Requires scalar candidate ids
+        and `candidate_vocab_size`.
+      candidate_vocab_size: Id range for negative sampling.
     """
 
     query_tower: ModuleFactory = lambda: EmbeddingTower(1000, 32)
@@ -133,6 +143,8 @@ class TwoTowerRetrieval(models_base.Model):
     remove_accidental_hits: bool = False
     num_hard_negatives: Optional[int] = None
     batch_metric_ks: Tuple[int, ...] = (1, 10)
+    num_extra_negatives: int = 0
+    candidate_vocab_size: Optional[int] = None
 
     def setup(self):
         self._query = self.query_tower()
@@ -169,13 +181,41 @@ class TwoTowerRetrieval(models_base.Model):
                     f"got shape {ids.shape} for {self.candidate_key!r}."
                 )
             candidate_ids = ids
+
+        sampling_probability = batch.get("candidate_sampling_probability")
+        if training and self.num_extra_negatives:
+            if self.candidate_vocab_size is None:
+                raise ValueError(
+                    "num_extra_negatives requires candidate_vocab_size."
+                )
+            neg_ids = jax.random.randint(
+                self.make_rng("sampling"),
+                (self.num_extra_negatives,),
+                0,
+                self.candidate_vocab_size,
+            )
+            extra = self._candidate(neg_ids)
+            c = jnp.concatenate([c, extra], axis=0)
+            if candidate_ids is not None:
+                candidate_ids = jnp.concatenate(
+                    [candidate_ids, neg_ids], axis=0
+                )
+            if sampling_probability is not None:
+                # Uniform q for the sampled rows.
+                uniform = jnp.full(
+                    (self.num_extra_negatives,),
+                    self.num_extra_negatives
+                    / self.candidate_vocab_size,
+                    sampling_probability.dtype,
+                )
+                sampling_probability = jnp.concatenate(
+                    [sampling_probability, uniform], axis=0
+                )
         out = self.task(
             q,
             c,
             sample_weight=batch.get("sample_weight"),
-            candidate_sampling_probability=batch.get(
-                "candidate_sampling_probability"
-            ),
+            candidate_sampling_probability=sampling_probability,
             candidate_ids=candidate_ids,
         )
         return out.loss, {"retrieval": out}

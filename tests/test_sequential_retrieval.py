@@ -181,3 +181,69 @@ def test_multitask_zero_weight_disables_task():
         jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)
     ):
         np.testing.assert_array_equal(b, a)
+
+
+def test_trainer_supports_dropout_rngs():
+    """Stochastic layers work in the jitted step (rng threads per step)."""
+    import flax.linen as nn
+
+    class DropTower(nn.Module):
+        vocab: int
+
+        @nn.compact
+        def __call__(self, ids):
+            x = nn.Embed(self.vocab, 16)(ids)
+            # Deterministic only outside training; Trainer passes the
+            # "dropout" rng stream during train steps.
+            return nn.Dropout(rate=0.5, deterministic=False)(x)
+
+    model = models_lib.TwoTowerRetrieval(
+        query_tower=lambda: DropTower(50),
+        candidate_tower=lambda: models_lib.EmbeddingTower(60, 16),
+        query_key="user_id",
+        candidate_key="movie_id",
+    )
+    trainer = models_lib.Trainer(model, optax.sgd(0.1))
+    rng = np.random.RandomState(0)
+    batch = {
+        "user_id": rng.randint(0, 50, 32).astype(np.int32),
+        "movie_id": rng.randint(0, 60, 32).astype(np.int32),
+    }
+    state = trainer.init(jax.random.PRNGKey(0), batch)
+    state, l1 = trainer.train_step(state, batch)
+    state, l2 = trainer.train_step(state, batch)
+    # Fresh dropout masks each step: identical batches, different losses.
+    assert float(l1) != float(l2)
+
+
+def test_sampled_extra_negatives():
+    model = models_lib.TwoTowerRetrieval(
+        query_tower=lambda: models_lib.EmbeddingTower(50, 16),
+        candidate_tower=lambda: models_lib.EmbeddingTower(500, 16),
+        query_key="user_id",
+        candidate_key="movie_id",
+        num_extra_negatives=64,
+        candidate_vocab_size=500,
+        remove_accidental_hits=True,
+    )
+    trainer = models_lib.Trainer(model, optax.adagrad(0.1))
+    rng = np.random.RandomState(1)
+    batch = {
+        "user_id": rng.randint(0, 50, 32).astype(np.int32),
+        "movie_id": rng.randint(0, 500, 32).astype(np.int32),
+    }
+    state = trainer.init(jax.random.PRNGKey(0), batch)
+    state, loss = trainer.train_step(state, batch)
+    assert np.isfinite(float(loss))
+    # Logits widen to batch + extras during training.
+    variables = {"params": state.params}
+    out_loss, aux = model.apply(
+        variables, batch, training=True, method="compute_loss",
+        rngs={"sampling": jax.random.PRNGKey(3)},
+    )
+    assert aux["retrieval"].scores.shape == (32, 32 + 64)
+    # Eval path samples nothing.
+    _, eval_aux = model.apply(
+        variables, batch, training=False, method="compute_loss"
+    )
+    assert eval_aux["retrieval"].scores.shape == (32, 32)
