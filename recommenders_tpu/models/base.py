@@ -357,7 +357,6 @@ class Trainer:
         state: TrainState,
         dataset: Callable[[], Any],
         epochs: int = 1,
-        log_every: int = 0,
         verbose: bool = True,
         max_in_flight: int = 10,
     ) -> Tuple[TrainState, Dict[str, Any]]:
