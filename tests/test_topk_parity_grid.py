@@ -1,0 +1,130 @@
+"""Combinatorial top-k parity grid across every index implementation.
+
+Mirrors the reference's oracle-vs-numpy `test_cases()` generator
+(`tensorflow_recommenders/layers/factorized_top_k_test.py:31-66,85-165`):
+a grid over k × num_queries × num_candidates × identifier dtype ×
+exclusions, run against BruteForce, Streaming (both modes),
+ShardedBruteForce, Bucketed, and exact-configured ScaNN, all checked
+against the same numpy argsort oracle.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from recommenders_tpu.layers import approximate, factorized_top_k
+from recommenders_tpu.parallel import corpus as corpus_lib
+
+DIM = 128  # Lane-aligned so Bucketed participates in the grid.
+
+
+def _oracle(queries, candidates, identifiers, k, exclusions=None):
+    scores = queries @ candidates.T
+    if exclusions is not None:
+        for r in range(queries.shape[0]):
+            for ex in exclusions[r]:
+                hits = np.where(identifiers == ex)[0]
+                scores[r, hits] = -np.inf
+    order = np.argsort(-scores, axis=1)[:, :k]
+    return identifiers[order]
+
+
+def _make_index(kind, k):
+    if kind == "brute_force":
+        return factorized_top_k.BruteForce(k=k)
+    if kind == "streaming":
+        return factorized_top_k.Streaming(k=k, chunk_size=128)
+    if kind == "sharded":
+        return corpus_lib.ShardedBruteForce(k=k)
+    if kind == "bucketed_exact":
+        # buckets >= candidates → bucketed selection is exact.
+        return factorized_top_k.Bucketed(k=k, buckets=1024, chunk=1024)
+    if kind == "scann_exact":
+        return approximate.ScaNN(
+            k=k, num_leaves=1, num_leaves_to_search=1
+        )
+    raise ValueError(kind)
+
+
+GRID = list(
+    itertools.product(
+        ("brute_force", "streaming", "sharded", "bucketed_exact",
+         "scann_exact"),
+        (1, 5, 33),              # k
+        (3, 16),                 # num_queries
+        (200, 512, 1000),        # num_candidates (incl. ragged sizes)
+    )
+)
+
+
+@pytest.mark.parametrize("kind,k,num_queries,num_candidates", GRID)
+def test_index_matches_numpy_oracle(kind, k, num_queries, num_candidates):
+    rng = np.random.RandomState(k * 1000 + num_queries + num_candidates)
+    candidates = rng.normal(size=(num_candidates, DIM)).astype(np.float32)
+    queries = rng.normal(size=(num_queries, DIM)).astype(np.float32)
+    identifiers = (
+        np.arange(num_candidates, dtype=np.int64) * 3 + 11
+    )
+
+    index = _make_index(kind, k)
+    index.index(jnp.asarray(candidates), jnp.asarray(identifiers))
+    scores, ids = index(jnp.asarray(queries))
+
+    expected = _oracle(queries, candidates, identifiers, k)
+    np.testing.assert_array_equal(np.asarray(ids), expected)
+    # Scores are the true dot products of the returned candidates.
+    full = queries @ candidates.T
+    id_to_row = {int(v): i for i, v in enumerate(identifiers)}
+    rows = np.vectorize(id_to_row.get)(np.asarray(ids))
+    np.testing.assert_allclose(
+        np.asarray(scores),
+        np.take_along_axis(full, rows, axis=1),
+        rtol=2e-4,
+        atol=2e-4,
+    )
+
+
+@pytest.mark.parametrize(
+    "kind", ("brute_force", "streaming", "sharded", "bucketed_exact",
+             "scann_exact")
+)
+@pytest.mark.parametrize("num_exclusions", (1, 4))
+def test_query_with_exclusions_matches_oracle(kind, num_exclusions):
+    rng = np.random.RandomState(7 + num_exclusions)
+    num_candidates, num_queries, k = 300, 8, 10
+    candidates = rng.normal(size=(num_candidates, DIM)).astype(np.float32)
+    queries = rng.normal(size=(num_queries, DIM)).astype(np.float32)
+    identifiers = np.arange(num_candidates, dtype=np.int64) + 5
+
+    index = _make_index(kind, k)
+    index.index(jnp.asarray(candidates), jnp.asarray(identifiers))
+    base_scores, base_ids = index(jnp.asarray(queries))
+    # Exclude each row's top results — the hardest case.
+    exclusions = np.asarray(base_ids)[:, :num_exclusions]
+
+    scores, ids = index.query_with_exclusions(
+        jnp.asarray(queries), jnp.asarray(exclusions)
+    )
+    expected = _oracle(
+        queries, candidates, identifiers, k, exclusions=exclusions
+    )
+    np.testing.assert_array_equal(np.asarray(ids), expected)
+
+
+def test_streaming_host_mode_in_grid():
+    """Host-streamed Streaming (dataset mode) against the same oracle."""
+    rng = np.random.RandomState(3)
+    candidates = rng.normal(size=(700, DIM)).astype(np.float32)
+    queries = rng.normal(size=(6, DIM)).astype(np.float32)
+    index = factorized_top_k.Streaming(k=25)
+    index.index_from_dataset(
+        lambda: (candidates[i:i + 128] for i in range(0, 700, 128))
+    )
+    _, ids = index(jnp.asarray(queries))
+    expected = _oracle(
+        queries, candidates, np.arange(700, dtype=np.int32), 25
+    )
+    np.testing.assert_array_equal(np.asarray(ids), expected)
