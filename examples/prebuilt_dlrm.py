@@ -11,7 +11,7 @@ import numpy as np
 import jax
 import optax
 
-from recommenders_tpu import data, models
+from recommenders_tpu import data, models, optimizers
 from recommenders_tpu.embedding import config as cfg
 from recommenders_tpu.layers import blocks
 from recommenders_tpu.models import ranking as ranking_model
@@ -34,7 +34,23 @@ def synthetic_ctr(n=50_000, num_dense=8, seed=0):
     }
 
 
-def main(epochs: int = 2, interaction: str = "multi_layer_dcn"):
+def make_optimizer(kind: str):
+    """`adagrad`, or the reference's production split: ClippyAdagrad on
+    the embedding tables + Adam on the dense stacks (CompositeOptimizer +
+    ClippyAdagrad, experimental/optimizers/*)."""
+    if kind == "adagrad":
+        return optax.adagrad(0.05)
+    return optax.multi_transform(
+        {
+            "embedding": optimizers.clippy_adagrad(learning_rate=0.05),
+            "dense": optax.adam(1e-3),
+        },
+        ranking_model.embedding_param_labels,
+    )
+
+
+def main(epochs: int = 2, interaction: str = "multi_layer_dcn",
+         optimizer: str = "adagrad"):
     user_table = cfg.TableConfig(50_000, 16, name="user")
     item_table = cfg.TableConfig(2_000, 16, name="item")
     feature_configs = (
@@ -59,14 +75,17 @@ def main(epochs: int = 2, interaction: str = "multi_layer_dcn"):
         ),
         size_threshold=10_000,  # user table sharded, item replicated.
     )
-    trainer = models.Trainer(model, optax.adagrad(0.05))
+    trainer = models.Trainer(model, make_optimizer(optimizer))
     ctr = synthetic_ctr()
     batcher = data.batched(ctr, 4096, shuffle=True)
     state = trainer.init(jax.random.PRNGKey(0), next(batcher()))
     state, history = trainer.fit(state, batcher, epochs=epochs)
-    print(f"final AUC: {history['epochs'][-1]['auc']:.4f}")
+    print(
+        f"{optimizer:>14}: final AUC {history['epochs'][-1]['auc']:.4f}"
+    )
     return history
 
 
 if __name__ == "__main__":
     main()
+    main(optimizer="clippy_composite")

@@ -4,6 +4,7 @@ from recommenders_tpu.data import vocab
 from recommenders_tpu.data.movielens import SyntheticMovieLens
 from recommenders_tpu.data.movielens import batched
 from recommenders_tpu.data.movielens import evaluate
+from recommenders_tpu.data.movielens import load_movielens
 from recommenders_tpu.data.movielens import sample_listwise
 from recommenders_tpu.data.movielens import synthetic_movielens
 from recommenders_tpu.data.native_loader import NativeBatcher
@@ -16,6 +17,7 @@ __all__ = [
     "batched",
     "batched_native_or_python",
     "evaluate",
+    "load_movielens",
     "native_available",
     "sample_listwise",
     "synthetic_movielens",

@@ -131,6 +131,47 @@ def synthetic_movielens(
     )
 
 
+def load_movielens(
+    path: str,
+    num_users: Optional[int] = None,
+    num_movies: Optional[int] = None,
+) -> SyntheticMovieLens:
+    """Loads real MovieLens interaction files into the dataset container.
+
+    Supports the two public formats:
+      - ML-100K `u.data`: tab-separated `user item rating timestamp`;
+      - ML-1M `ratings.dat`: `user::item::rating::timestamp`.
+
+    Ids are 1-based in the files and shifted to 0-based here. The
+    environment for round 1 has no network access, so this is exercised
+    against synthetic files in tests; point it at a real download to
+    reproduce the reference's published quality numbers
+    (BASELINE.md: top-100 ≈ 0.27, multitask RMSE ≈ 1.11).
+    """
+    sep = "::" if path.endswith(".dat") else "\t"
+    users, movies, ratings, timestamps = [], [], [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            u, m, r, t = line.split(sep)[:4]
+            users.append(int(u) - 1)
+            movies.append(int(m) - 1)
+            ratings.append(float(r))
+            timestamps.append(int(t))
+    users = np.asarray(users, np.int32)
+    movies = np.asarray(movies, np.int32)
+    return SyntheticMovieLens(
+        user_ids=users,
+        movie_ids=movies,
+        ratings=np.asarray(ratings, np.float32),
+        timestamps=np.asarray(timestamps, np.int64),
+        num_users=num_users or int(users.max()) + 1,
+        num_movies=num_movies or int(movies.max()) + 1,
+    )
+
+
 def batched(
     data: Batch,
     batch_size: int,
