@@ -55,15 +55,19 @@ def export_index(
     example_queries: Array,
     k: int,
 ) -> None:
-    """Exports a built retrieval index's query path + its corpus arrays.
+    """Exports a built retrieval index's query path + its data arrays.
 
-    Works for any index whose query is `(queries, candidates, identifiers)
-    → (scores, ids)` on device arrays — BruteForce and Bucketed. The
-    corpus is saved as data (npz), the query computation as StableHLO with
-    the corpus as a runtime argument, so serving processes can swap
-    corpora without recompiling.
+    Supports BruteForce, Bucketed, and ScaNN (whose partition/leaf arrays
+    serialize alongside the search computation, mirroring the reference's
+    ScaNN-in-SavedModel export, layers/factorized_top_k.py:728-730). Data
+    is saved as npz, the query computation as StableHLO with the arrays as
+    runtime arguments, so serving processes can swap corpora without
+    recompiling.
     """
-    from recommenders_tpu.layers import factorized_top_k
+    from recommenders_tpu.layers import approximate, factorized_top_k
+
+    if isinstance(index, approximate.ScaNN):
+        return _export_scann(path, index, example_queries, k)
 
     candidates = index._candidates
     if candidates is None:
@@ -111,15 +115,78 @@ def export_index(
 def load_index(path: str) -> Callable[[Array], Tuple[Array, Array]]:
     """Loads an exported index; returns `queries → (scores, ids)`."""
     data = np.load(os.path.join(path, _DATA_FILE))
+    call = load_fn(path)
+    if "centroids" in data.files:  # ScaNN artifact.
+        args = [
+            data[name]
+            for name in ("centroids", "leaf_embs", "leaf_scales",
+                         "leaf_ids", "leaf_rows", "leaf_valid")
+            if name in data.files
+        ]
+
+        def serve_scann(queries):
+            return call(queries, *args)
+
+        return serve_scann
     candidates = data["candidates"]
     identifiers = data["identifiers"]
     extra = (data["valid"],) if "valid" in data.files else ()
-    call = load_fn(path)
 
     def serve(queries):
         return call(queries, candidates, identifiers, *extra)
 
     return serve
+
+
+def _export_scann(path: str, index, example_queries: Array, k: int) -> None:
+    from recommenders_tpu.layers import approximate
+
+    if not index._built:
+        raise ValueError("The index must be built (`index(...)`) first.")
+    quantized = index._quantize
+    num_probes = index._num_probes
+    k = min(k, index._num_candidates)
+
+    arrays = {
+        "centroids": np.asarray(index._centroids),
+        "leaf_embs": np.asarray(index._leaf_embs),
+        "leaf_ids": np.asarray(index._leaf_ids),
+        "leaf_rows": np.asarray(index._leaf_rows),
+        "leaf_valid": np.asarray(index._leaf_valid),
+    }
+    if quantized:
+        arrays["leaf_scales"] = np.asarray(index._leaf_scales)
+
+    if quantized:
+
+        def query(queries, centroids, leaf_embs, leaf_scales, leaf_ids,
+                  leaf_rows, leaf_valid):
+            scores, ids, _ = approximate._search(
+                queries, centroids, leaf_embs, leaf_scales, leaf_ids,
+                leaf_rows, leaf_valid, num_probes, k, True,
+            )
+            return scores, ids
+
+        args = (arrays["centroids"], arrays["leaf_embs"],
+                arrays["leaf_scales"], arrays["leaf_ids"],
+                arrays["leaf_rows"], arrays["leaf_valid"])
+    else:
+
+        def query(queries, centroids, leaf_embs, leaf_ids, leaf_rows,
+                  leaf_valid):
+            scores, ids, _ = approximate._search(
+                queries, centroids, leaf_embs, None, leaf_ids,
+                leaf_rows, leaf_valid, num_probes, k, False,
+            )
+            return scores, ids
+
+        args = (arrays["centroids"], arrays["leaf_embs"],
+                arrays["leaf_ids"], arrays["leaf_rows"],
+                arrays["leaf_valid"])
+
+    os.makedirs(path, exist_ok=True)
+    np.savez(os.path.join(path, _DATA_FILE), **arrays)
+    export_fn(path, query, example_queries, *args)
 
 
 def _query_for(index):

@@ -115,3 +115,42 @@ def test_export_model_forward(tmp_path):
         np.asarray(query_tower(user_ids)),
         rtol=1e-5,
     )
+
+
+def test_scann_index_roundtrip(tmp_path):
+    """ScaNN serializes alongside its partition arrays (the reference's
+    ScaNN-in-SavedModel export)."""
+    from recommenders_tpu.layers import approximate
+
+    queries, corpus = _data(2000, 64, 8, seed=3)
+    index = approximate.ScaNN(
+        k=10, num_leaves=16, num_leaves_to_search=4, quantize=True
+    )
+    index.index(corpus)
+    expected_scores, expected_ids = index(queries)
+
+    path = str(tmp_path / "scann")
+    export_lib.export_index(path, index, queries, k=10)
+    served = export_lib.load_index(path)
+    scores, ids = served(queries)
+    np.testing.assert_array_equal(
+        np.asarray(ids), np.asarray(expected_ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(expected_scores), rtol=1e-4
+    )
+
+
+def test_scann_unquantized_roundtrip(tmp_path):
+    from recommenders_tpu.layers import approximate
+
+    queries, corpus = _data(800, 32, 4, seed=4)
+    index = approximate.ScaNN(k=5, num_leaves=8, num_leaves_to_search=8)
+    index.index(corpus)
+    _, expected_ids = index(queries)
+    path = str(tmp_path / "scann2")
+    export_lib.export_index(path, index, queries, k=5)
+    _, ids = export_lib.load_index(path)(queries)
+    np.testing.assert_array_equal(
+        np.asarray(ids), np.asarray(expected_ids)
+    )

@@ -143,3 +143,35 @@ def test_raw_candidates_auto_wrapped():
     expected = _expected_accuracy(queries, corpus_emb, true_idx, 10)
     got = float(results["factorized_top_k/top_10_categorical_accuracy"])
     assert got == pytest.approx(expected, abs=1e-6)
+
+
+def test_id_based_eval_clips_multiple_hits_to_one():
+    """Duplicate candidates (same id retrieved multiple times) count once
+    per query (reference: metrics/factorized_top_k.py:141-180 clips
+    multiple matches)."""
+    import jax.numpy as jnp
+    from recommenders_tpu.layers import factorized_top_k as ftk
+    from recommenders_tpu import metrics as metrics_lib
+
+    # Corpus with the SAME embedding and id duplicated: the index will
+    # retrieve id 7 in several of the top slots.
+    emb = np.ones((4, 8), np.float32)
+    candidates = np.concatenate([emb * 2.0, np.zeros((4, 8), np.float32)])
+    identifiers = np.asarray([7, 7, 7, 7, 1, 2, 3, 4], np.int64)
+    index = ftk.BruteForce(k=4).index(
+        jnp.asarray(candidates), jnp.asarray(identifiers)
+    )
+    metric = metrics_lib.FactorizedTopK(candidates=index, ks=(4,))
+    queries = jnp.ones((2, 8), jnp.float32)
+    state = metric.update(
+        metric.init(),
+        queries,
+        jnp.asarray(candidates[:2]),
+        true_candidate_ids=jnp.asarray([7, 7]),
+    )
+    # All 4 retrieved slots match id 7, but accuracy must be exactly 1.0
+    # (one hit per query), not 4.0.
+    result = metric.result(state)
+    np.testing.assert_allclose(
+        float(result["factorized_top_k/top_4_categorical_accuracy"]), 1.0
+    )
