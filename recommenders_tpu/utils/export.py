@@ -27,11 +27,18 @@ from jax import export as jax_export
 Array = jax.Array
 
 _FN_FILE = "computation.stablehlo"
+_MLIR_FILE = "module.mlir"
 _DATA_FILE = "arrays.npz"
 
 
 def export_fn(path: str, fn: Callable, *example_args) -> None:
-    """Serializes `jit(fn)` specialized to the example args' shapes."""
+    """Serializes `jit(fn)` specialized to the example args' shapes.
+
+    Writes two artifacts: `computation.stablehlo` (the versioned
+    jax.export payload, loadable by `load_fn`) and `module.mlir` (the raw
+    StableHLO module text, consumable by non-JAX hosts — e.g. the C++
+    PJRT serving binary, `native/pjrt_host.cc`).
+    """
     specs = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
         tuple(example_args),
@@ -40,6 +47,8 @@ def export_fn(path: str, fn: Callable, *example_args) -> None:
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _FN_FILE), "wb") as f:
         f.write(exported.serialize())
+    with open(os.path.join(path, _MLIR_FILE), "w") as f:
+        f.write(exported.mlir_module())
 
 
 def load_fn(path: str) -> Callable:
