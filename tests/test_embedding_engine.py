@@ -280,3 +280,92 @@ def test_bf16_tables_train_and_checkpoint(tmp_path):
         np.asarray(restored.tables["t"].astype(jnp.float32)),
         np.asarray(state.tables["t"].astype(jnp.float32)),
     )
+
+
+def test_adam_closed_form_single_step():
+    """Lazy Adam single-step against hand-computed values."""
+    spec = config_lib.OptimizerSpec(
+        kind="adam", learning_rate=0.1, beta1=0.9, beta2=0.999,
+        epsilon=1e-7,
+    )
+    table = config_lib.TableConfig(10, 2, name="t", optimizer=spec)
+    eng = engine_lib.EmbeddingEngine(
+        (config_lib.FeatureConfig(table=table, name="x"),)
+    )
+    state = eng.init(jax.random.PRNGKey(0))
+    w0 = np.asarray(state.tables["t"])[3]
+
+    def linear(acts):
+        return jnp.sum(acts["x"] * jnp.asarray([[2.0, -1.0]]))
+
+    new_state, _, _ = eng.grad_and_update(
+        state, {"x": jnp.asarray([3], jnp.int32)}, linear
+    )
+    g = np.asarray([2.0, -1.0])
+    m = 0.1 * g                     # (1-beta1) * g
+    v = 0.001 * g * g               # (1-beta2) * g^2
+    m_hat = m / (1 - 0.9)           # t = 1
+    v_hat = v / (1 - 0.999)
+    expected = w0 - 0.1 * m_hat / (np.sqrt(v_hat) + 1e-7)
+    np.testing.assert_allclose(
+        np.asarray(new_state.tables["t"])[3], expected, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state.slots["t"]["m"])[3], m, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state.slots["t"]["v"])[3], v, rtol=1e-6
+    )
+    # Untouched row slots stay zero.
+    np.testing.assert_array_equal(
+        np.asarray(new_state.slots["t"]["m"])[0], [0.0, 0.0]
+    )
+
+
+def test_ftrl_closed_form_single_step():
+    """FTRL-proximal single-step against the published update equations."""
+    lr, l1, l2, acc0 = 0.5, 0.1, 0.01, 0.1
+    spec = config_lib.OptimizerSpec(
+        kind="ftrl", learning_rate=lr,
+        initial_accumulator_value=acc0,
+        l1_regularization_strength=l1,
+        l2_regularization_strength=l2,
+        learning_rate_power=-0.5,
+    )
+    table = config_lib.TableConfig(10, 1, name="t", optimizer=spec)
+    eng = engine_lib.EmbeddingEngine(
+        (config_lib.FeatureConfig(table=table, name="x"),)
+    )
+    state = eng.init(jax.random.PRNGKey(0))
+    w0 = float(np.asarray(state.tables["t"])[5, 0])
+
+    g = 3.0
+
+    def linear(acts):
+        return g * jnp.sum(acts["x"])
+
+    new_state, _, _ = eng.grad_and_update(
+        state, {"x": jnp.asarray([5], jnp.int32)}, linear
+    )
+    n_new = acc0 + g * g
+    sigma = (np.sqrt(n_new) - np.sqrt(acc0)) / lr
+    z = g - sigma * w0  # linear slot starts at 0.
+    denom = np.sqrt(n_new) / lr + 2 * l2
+    expected_w = (
+        (np.sign(z) * l1 - z) / denom if abs(z) > l1 else 0.0
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(new_state.tables["t"])[5, 0]),
+        expected_w,
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(new_state.slots["t"]["accumulator"])[5, 0]),
+        n_new,
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(new_state.slots["t"]["linear"])[5, 0]),
+        z,
+        rtol=1e-6,
+    )
