@@ -359,12 +359,18 @@ class Trainer:
         epochs: int = 1,
         verbose: bool = True,
         max_in_flight: int = 10,
+        validation_data: Optional[Callable[[], Any]] = None,
     ) -> Tuple[TrainState, Dict[str, Any]]:
         """Trains for `epochs` passes over `dataset` (a batch-iter factory).
 
         Batches are prefetched to device one step ahead, and at most
         `max_in_flight` steps are enqueued before synchronizing (bounding
         the live copies of donated state).
+
+        If `validation_data` is given (another batch-iter factory), a full
+        evaluation pass runs after every epoch and its metrics appear in
+        the history with a `val_` prefix (the Keras `validation_data`
+        contract).
 
         Returns the final state and a history dict with per-epoch metric
         results and throughput.
@@ -390,6 +396,11 @@ class Trainer:
             results["examples_per_sec"] = num_examples / max(
                 elapsed, 1e-9
             )
+            if validation_data is not None:
+                val_results = self.evaluate(state, validation_data)
+                results.update(
+                    {f"val_{k}": v for k, v in val_results.items()}
+                )
             history["epochs"].append(results)
             if verbose:
                 summary = ", ".join(

@@ -246,3 +246,25 @@ def test_data_parallel_equals_expected_devices():
         TwoTowerModel(num_users=8, num_movies=8), optax.sgd(0.1)
     )
     assert trainer.mesh.devices.size == jax.device_count()
+
+
+def test_fit_with_validation_data(ml_data):
+    train, test = ml_data
+    model = RatingModel(
+        num_users=train.num_users, num_movies=train.num_movies
+    )
+    trainer = models_lib.Trainer(model, optax.adam(1e-2))
+    sample = next(data_lib.batched(train.as_dict(), 256)())
+    state = trainer.init(jax.random.PRNGKey(0), sample)
+    state, history = trainer.fit(
+        state,
+        data_lib.batched(train.as_dict(), 256, shuffle=True),
+        epochs=2,
+        verbose=False,
+        validation_data=data_lib.batched(test.as_dict(), 256),
+    )
+    final = history["epochs"][-1]
+    assert "val_rmse" in final and "val_loss" in final
+    assert np.isfinite(final["val_rmse"])
+    # Validation metrics come from the held-out split, train from train.
+    assert final["val_rmse"] != final["rmse"]
