@@ -283,7 +283,12 @@ class AUC(Metric):
                 (fpr[:-1] - fpr[1:]) * (tpr[:-1] + tpr[1:]) / 2.0
             )
         elif self.curve == "PR":
-            precision = tp / jnp.maximum(tp + fp, 1e-12)
+            # Precision at zero predictions (highest thresholds) is 1 by
+            # convention — treating it as 0 truncates the leading area
+            # and caps a perfect classifier's PR-AUC below 1.
+            precision = jnp.where(
+                tp + fp > 0, tp / jnp.maximum(tp + fp, 1e-12), 1.0
+            )
             recall = tp / jnp.maximum(tp + fn, 1e-12)
             return jnp.sum(
                 (recall[:-1] - recall[1:])

@@ -103,3 +103,31 @@ def test_merge_states():
     s2 = m.update(m.init(), jnp.asarray([3.0]))
     merged = metrics.merge_states(s1, s2)
     assert float(m.result(merged)) == pytest.approx(2.0)
+
+
+def test_auc_pr_curve():
+    """PR-AUC for a perfect classifier is 1.0; for a random one ~0.5."""
+    import jax.numpy as jnp
+    from recommenders_tpu import metrics as metrics_lib
+
+    m = metrics_lib.AUC(curve="PR")
+    labels = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    perfect = jnp.asarray([0.9, 0.8, 0.2, 0.1])
+    state = m.update(m.init(), labels, perfect)
+    np.testing.assert_allclose(float(m.result(state)), 1.0, atol=0.02)
+
+    rng = np.random.RandomState(0)
+    labels = jnp.asarray(rng.randint(0, 2, 4000), jnp.float32)
+    random_preds = jnp.asarray(rng.uniform(size=4000), jnp.float32)
+    state = m.update(m.init(), labels, random_preds)
+    # For random scores, PR-AUC ≈ positive rate (~0.5 here).
+    assert 0.4 < float(m.result(state)) < 0.6
+
+
+def test_auc_unknown_curve_raises():
+    from recommenders_tpu import metrics as metrics_lib
+
+    m = metrics_lib.AUC(curve="bogus")
+    state = m.update(m.init(), np.asarray([1.0]), np.asarray([0.5]))
+    with pytest.raises(ValueError, match="curve"):
+        m.result(state)

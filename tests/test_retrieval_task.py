@@ -176,3 +176,36 @@ def test_loss_is_differentiable():
     task = tasks.Retrieval(temperature=0.5, num_hard_negatives=2)
     grads = jax.grad(lambda q_, c_: task(q_, c_).loss, argnums=(0, 1))(q, c)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in grads)
+
+
+def test_combined_options_weights_hard_negatives_extra_candidates():
+    """All task knobs at once against a step-by-step numpy oracle:
+    extra candidates + temperature + hard-negative mining + weights."""
+    import jax.numpy as jnp
+    from recommenders_tpu import tasks as tasks_lib
+
+    rng = np.random.RandomState(0)
+    q = rng.normal(size=(3, 4)).astype(np.float32)
+    c = rng.normal(size=(5, 4)).astype(np.float32)  # 2 extra negatives.
+    w = np.asarray([1.0, 0.5, 2.0], np.float32)
+    temperature, num_hard = 0.3, 2
+
+    task = tasks_lib.Retrieval(
+        temperature=temperature, num_hard_negatives=num_hard
+    )
+    out = task(
+        jnp.asarray(q), jnp.asarray(c), sample_weight=jnp.asarray(w)
+    )
+
+    scores = (q @ c.T) / temperature
+    total = 0.0
+    for i in range(3):
+        row = scores[i].copy()
+        pos = row[i]
+        negs = np.delete(row, i)
+        top_negs = np.sort(negs)[::-1][:num_hard]
+        logits = np.concatenate([[pos], top_negs])
+        # Positive may not be the max; softmax CE over kept logits.
+        ce = -(pos - np.log(np.exp(logits).sum()))
+        total += w[i] * ce
+    np.testing.assert_allclose(float(out.loss), total, rtol=1e-4)
