@@ -126,3 +126,14 @@ def test_cross_topology_restore(tmp_path):
     # Values came from mesh A; shardings follow mesh B's template.
     rest = restored.params["embedding"]["sharded_embedding"]["item"]
     assert rest.sharding.mesh.shape == {"data": 2, "model": 4}
+
+
+def test_manager_save_interval_policy(tmp_path, trainer):
+    """save_interval_steps skips intermediate steps (orbax should_save)."""
+    state = trainer.init(jax.random.PRNGKey(0), _batch())
+    with ckpt_lib.CheckpointManager(
+        str(tmp_path / "interval"), save_interval_steps=5
+    ) as mgr:
+        saved = [step for step in range(11) if mgr.save(step, state)]
+    # Only multiples of the interval persist.
+    assert saved == [0, 5, 10], saved

@@ -131,3 +131,39 @@ def test_auc_unknown_curve_raises():
     state = m.update(m.init(), np.asarray([1.0]), np.asarray([0.5]))
     with pytest.raises(ValueError, match="curve"):
         m.result(state)
+
+
+def test_offline_evaluate_precision_recall_with_exclusions():
+    """data.evaluate: hand-checked precision/recall@k with train
+    exclusion (reference examples/movielens.py:26)."""
+    from recommenders_tpu import data as data_lib
+
+    # 2 users x 4 movies; user embeddings pick movies by dot product.
+    user_emb = np.asarray([[1.0, 0.0], [0.0, 1.0]], np.float32)
+    movie_emb = np.asarray(
+        [[0.9, 0.0], [0.8, 0.0], [0.0, 0.9], [0.0, 0.8]], np.float32
+    )
+    # Test watches: user0 -> movie1, user1 -> movie3.
+    results = data_lib.evaluate(
+        user_emb,
+        movie_emb,
+        test_user_ids=np.asarray([0, 1]),
+        test_movie_ids=np.asarray([1, 3]),
+        # Train watches exclude each user's top-scoring movie.
+        train_user_ids=np.asarray([0, 1]),
+        train_movie_ids=np.asarray([0, 2]),
+        k=1,
+    )
+    # With the top movie excluded, the test watch ranks first for both.
+    assert results["precision_at_1"] == 1.0
+    assert results["recall_at_1"] == 1.0
+
+    without_exclusion = data_lib.evaluate(
+        user_emb,
+        movie_emb,
+        test_user_ids=np.asarray([0, 1]),
+        test_movie_ids=np.asarray([1, 3]),
+        k=1,
+    )
+    # Without exclusion the (train) top movie crowds out the test watch.
+    assert without_exclusion["precision_at_1"] == 0.0
