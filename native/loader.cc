@@ -110,14 +110,20 @@ class Loader {
 
   void ProduceLoop() {
     while (!stop_.load()) {
+      // Claim credit BEFORE the ticket: a claimed-but-unqueued batch must
+      // keep outstanding_ nonzero, or a sibling thread exhausting the
+      // tickets could flip done_producing_ while this batch is in flight
+      // and the consumer would observe AllProduced() with work pending.
+      outstanding_.fetch_add(1);
       int64_t b = next_batch_.fetch_add(1);
       if (b >= num_batches_) {
-        // Last thread to notice completion flips the flag.
+        // Invalid ticket: release the credit, then flip the flag (this
+        // order keeps AllProduced() conservative).
+        outstanding_.fetch_sub(1);
         done_producing_.store(true);
         consumer_cv_.notify_all();
         return;
       }
-      outstanding_.fetch_add(1);
       int64_t start = b * batch_size_;
       int64_t rows = std::min(batch_size_, num_rows_ - start);
 

@@ -255,12 +255,13 @@ class EmbeddingEngine:
         features: Mapping[str, FeatureInput],
         loss_of_activations,
     ):
-        """One step with SparseCore-style overlap: the *previous* step's
-        embedding gradients are applied while this step's lookup + dense
-        compute run — inside one jit the scatter update and the forward
-        pass have no data dependence, so XLA schedules them concurrently.
-        Embedding tables are one step stale, the same trade the reference
-        enables with `pipeline_execution_with_tensor_core`
+        """One step with SparseCore-style overlap: this step's lookup
+        gathers from the tables *before* the previous step's pending
+        gradients are scattered in, so inside one jit the scatter and the
+        forward pass have no data dependence and XLA schedules them
+        concurrently. Lookups therefore see tables one step stale — the
+        same trade the reference enables with
+        `pipeline_execution_with_tensor_core`
         (tpu_embedding_layer.py:619-622,704-708).
 
         Args:
@@ -274,10 +275,10 @@ class EmbeddingEngine:
           `(new_state, new_pending, loss, aux)`. Call `flush` on the last
           pending update after the final step.
         """
-        if pending is not None:
-            state = self.update(
-                state, pending["features"], pending["grads"]
-            )
+        # Gather BEFORE applying the pending scatter: the gather reads the
+        # pre-update buffer, so the two ops are data-independent and can
+        # overlap. (Applying the update first would serialize the step on
+        # the scatter.)
         acts = self.lookup(state, features)
 
         def wrapped(acts):
@@ -287,6 +288,10 @@ class EmbeddingEngine:
         (loss, aux), agrads = jax.value_and_grad(wrapped, has_aux=True)(
             acts
         )
+        if pending is not None:
+            state = self.update(
+                state, pending["features"], pending["grads"]
+            )
         new_pending = {"features": features, "grads": agrads}
         return state, new_pending, loss, aux
 

@@ -260,12 +260,18 @@ class Trainer:
     def _make_eval_step(self):
         model = self.model
         mean = self._mean
+        track_stats = self.track_stats
 
         def eval_step(state: TrainState, batch: Batch):
             loss, reg, aux = self._loss_and_aux(
                 state.params, batch, training=False
             )
             total = loss + reg
+            if not track_stats:
+                # No loss/metric accumulators exist on the state (init()
+                # created empty dicts); report the raw step loss and let
+                # `evaluate` average on host.
+                return state, total
             loss_states = {
                 "loss": mean.update(state.loss_states["loss"], loss),
                 "regularization_loss": mean.update(
@@ -412,8 +418,20 @@ class Trainer:
     def evaluate(
         self, state: TrainState, dataset: Callable[[], Any]
     ) -> Dict[str, float]:
-        """Evaluates over one pass of `dataset`; returns metric results."""
+        """Evaluates over one pass of `dataset`; returns metric results.
+
+        With `track_stats=False` there are no streaming accumulators, so
+        the result is the mean over steps of the total loss (the same
+        per-step mean the accumulators would report), as `total_loss`."""
         state = self.reset_metrics(state)
+        if not self.track_stats:
+            loss_sum = 0.0
+            steps = 0
+            for batch in _iter_batches(dataset):
+                state, total = self.eval_step(state, batch)
+                loss_sum += float(total)
+                steps += 1
+            return {"total_loss": loss_sum / max(steps, 1)}
         for batch in _iter_batches(dataset):
             state, _ = self.eval_step(state, batch)
         return self.metric_results(state)

@@ -105,14 +105,17 @@ class HybridTrainer:
                 for fc in engine.feature_configs
             }
             engine_state = state.engine_state
+            # Gather from the pre-update tables so the pending scatter and
+            # this step's forward pass are data-independent (XLA overlaps
+            # them); lookups run one step stale, the
+            # pipeline_execution_with_tensor_core trade.
+            acts = engine.lookup(engine_state, features)
             if has_pending:
                 engine_state = engine.update(
                     engine_state,
                     state.pending["features"],
                     state.pending["grads"],
                 )
-
-            acts = engine.lookup(engine_state, features)
 
             def loss_fn(params, acts):
                 out = model.apply({"params": params}, batch, acts)

@@ -112,11 +112,8 @@ class Multitask(models_base.Model):
         rating_out: ranking_task.RankingOutput = aux["rating"]
         retrieval_out: retrieval_task.RetrievalOutput = aux["retrieval"]
         weight = batch.get("sample_weight")
-        labels = jnp.eye(
-            retrieval_out.scores.shape[0],
-            retrieval_out.scores.shape[1],
-            dtype=jnp.float32,
-        )
+        # Batch top-k uses the final (labels, logits) fed to the loss,
+        # matching the reference (tasks/retrieval.py:230-234).
         return {
             "rating_rmse": metrics_base.RootMeanSquaredError().update(
                 states["rating_rmse"],
@@ -127,8 +124,8 @@ class Multitask(models_base.Model):
             "batch_top_10_categorical_accuracy":
                 metrics_base.TopKCategoricalAccuracy(k=10).update(
                     states["batch_top_10_categorical_accuracy"],
-                    labels,
-                    retrieval_out.scores,
+                    retrieval_out.labels,
+                    retrieval_out.logits,
                     weight,
                 ),
         }

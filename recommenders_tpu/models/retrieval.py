@@ -228,17 +228,19 @@ class TwoTowerRetrieval(models_base.Model):
         }
 
     def update_metrics(self, states, batch, aux):
+        # Batch metrics see the FINAL (labels, logits) fed to the loss —
+        # post log-q correction, accidental-hit removal, and hard-negative
+        # mining — matching the reference's update_state inputs
+        # (tasks/retrieval.py:230-234). `out.scores` (pre-correction) is
+        # deliberately not used here.
         out: retrieval_task.RetrievalOutput = aux["retrieval"]
         weight = batch.get("sample_weight")
-        labels = jnp.eye(
-            out.scores.shape[0], out.scores.shape[1], dtype=jnp.float32
-        )
         new_states = {}
         for k in self.batch_metric_ks:
             name = f"batch_top_{k}_categorical_accuracy"
             metric = metrics_base.TopKCategoricalAccuracy(k=k)
             new_states[name] = metric.update(
-                states[name], labels, out.scores, weight
+                states[name], out.labels, out.logits, weight
             )
         return new_states
 

@@ -108,9 +108,15 @@ def export_index(
 
         extra = ()
 
+    candidates = np.asarray(candidates)
+    if candidates.dtype.kind == "V":
+        # npz cannot store ml_dtypes (bf16) arrays; persist as f32 and let
+        # the exported computation re-cast to the index's corpus dtype.
+        candidates = candidates.astype(np.float32)
+
     os.makedirs(path, exist_ok=True)
     arrays = {
-        "candidates": np.asarray(candidates),
+        "candidates": candidates,
         "identifiers": np.asarray(identifiers),
     }
     if valid is not None:
@@ -205,14 +211,27 @@ def _query_for(index):
 
     if isinstance(index, factorized_top_k.Bucketed):
         buckets, chunk = index._buckets, index._chunk
+        query_tile = index._query_tile
+        corpus_dtype = index._corpus_dtype
 
         def bucketed(queries, candidates, k):
+            # Bake the index's full serving config into the export: the
+            # VMEM-fit recipe (e.g. B=4096 needs query_tile=128 + bf16
+            # corpus) must survive into the serialized kernel, not revert
+            # to defaults. Note the backend branch is resolved at export
+            # (trace) time — an artifact exported on CPU carries the jnp
+            # reference path, one exported on TPU carries the Pallas
+            # kernel.
+            if corpus_dtype is not None:
+                queries = queries.astype(corpus_dtype)
+                candidates = candidates.astype(corpus_dtype)
             if jax.default_backend() == "cpu":
                 return scoring.bucketed_top_k_reference(
                     queries, candidates, k, buckets=buckets
                 )
             return scoring.bucketed_top_k(
-                queries, candidates, k, buckets=buckets, chunk=chunk
+                queries, candidates, k, buckets=buckets, chunk=chunk,
+                query_tile=query_tile,
             )
 
         return bucketed

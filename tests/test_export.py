@@ -70,6 +70,33 @@ def test_bucketed_index_roundtrip(tmp_path):
     )
 
 
+def test_bucketed_index_export_keeps_serving_config(tmp_path):
+    """Regression: a Bucketed index configured with a non-default
+    query_tile and a bf16 corpus (the documented B=4096 VMEM recipe) must
+    export that config — previously the export silently reverted to
+    query_tile=256 / f32 and could exceed VMEM at serve time."""
+    queries, corpus = _data(1024, 128, 8, seed=5)
+    index = factorized_top_k.Bucketed(
+        k=10, buckets=512, chunk=512, query_tile=128,
+        corpus_dtype=jnp.bfloat16,
+    ).index(corpus)
+    expected_scores, expected_ids = index(queries)
+
+    path = str(tmp_path / "bk16")
+    export_lib.export_index(path, index, queries, k=10)
+    served = export_lib.load_index(path)
+    scores, ids = served(queries)
+    np.testing.assert_array_equal(
+        np.asarray(ids), np.asarray(expected_ids)
+    )
+    # bf16 scoring in the export must match the index's own bf16 path.
+    np.testing.assert_allclose(
+        np.asarray(scores, np.float32),
+        np.asarray(expected_scores, np.float32),
+        rtol=1e-2,
+    )
+
+
 def test_export_unbuilt_raises(tmp_path):
     index = factorized_top_k.BruteForce(k=5)
     with pytest.raises(ValueError, match="built"):

@@ -112,6 +112,31 @@ def test_pooled_trainer_learns():
     assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
 
 
+def test_pooled_trainer_evaluate_without_track_stats():
+    """Regression: evaluate()/fit(validation_data=...) must work on any
+    Trainer with track_stats=False (PooledNegativesTrainer forces it);
+    previously the eval step crashed with KeyError 'loss' on the empty
+    loss-state dict."""
+    from recommenders_tpu import data as data_lib
+
+    mesh = mesh_lib.create_mesh(shape=(8, 1))
+    trainer = retrieval_step.PooledNegativesTrainer(
+        _model(), optax.adagrad(0.1), mesh=mesh
+    )
+    assert trainer.track_stats is False
+    batches = lambda: iter([_batch(seed=3), _batch(seed=4)])
+    state = trainer.init(jax.random.PRNGKey(0), _batch(seed=3))
+    results = trainer.evaluate(state, batches)
+    assert set(results) == {"total_loss"}
+    assert np.isfinite(results["total_loss"])
+    # And through fit's validation_data path.
+    state, history = trainer.fit(
+        state, batches, epochs=1, verbose=False,
+        validation_data=batches,
+    )
+    assert np.isfinite(history["epochs"][0]["val_total_loss"])
+
+
 def test_cross_replica_concat_roll_ordering():
     """Own shard's rows come first after the concat (identity labels)."""
     mesh = mesh_lib.create_mesh(shape=(4, 2))
