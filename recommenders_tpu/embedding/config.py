@@ -14,12 +14,14 @@ can be fields of flax modules.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional, Tuple, Union
 
 import jax
 
 Array = jax.Array
 Initializer = Callable[..., Array]
+# Float, or a schedule `step -> lr` (evaluated inside the jitted update).
+LearningRate = Union[float, Callable[[Array], Array]]
 
 VALID_COMBINERS = ("sum", "mean", "sqrtn")
 
@@ -37,10 +39,21 @@ class OptimizerSpec:
     FTRL}` objects accepted by the reference layer
     (tpu_embedding_layer.py:1014-1082). `kind` selects the update rule in
     `recommenders_tpu.embedding.sparse_optimizer`.
+
+    `learning_rate` may be a float or a schedule `step -> lr` evaluated
+    inside the jitted update on the engine's step counter — the
+    counterpart of the reference's dynamic-learning-rate translation
+    (tpu_embedding_layer.py:1014-1082 accepts Keras schedules and
+    callables for the embedding optimizers).
+
+    `kind="clippy"` is sparse ClippyAdagrad — the reference's
+    IndexedSlices path (experimental/optimizers/clippy_adagrad.py:165-188)
+    — so the flagship-paper optimizer can train engine-managed tables;
+    the clippy_* thresholds mirror that class's constructor.
     """
 
-    kind: str = "adagrad"  # sgd | adagrad | adam | ftrl
-    learning_rate: float = 0.01
+    kind: str = "adagrad"  # sgd | adagrad | adam | ftrl | clippy
+    learning_rate: LearningRate = 0.01
     initial_accumulator_value: float = 0.1
     beta1: float = 0.9
     beta2: float = 0.999
@@ -49,6 +62,18 @@ class OptimizerSpec:
     learning_rate_power: float = -0.5
     l1_regularization_strength: float = 0.0
     l2_regularization_strength: float = 0.0
+    # Clippy parameters (kind="clippy").
+    variable_relative_threshold: float = 0.1
+    accumulator_relative_threshold: float = 0.0
+    absolute_threshold: float = 1e-7
+    clip_accumulator_update: bool = False
+    use_standard_accumulator_update: bool = False
+
+    def lr_at(self, step: Array):
+        """Resolves the learning rate at `step` (traced-safe)."""
+        if callable(self.learning_rate):
+            return self.learning_rate(step)
+        return self.learning_rate
 
 
 @dataclasses.dataclass(frozen=True)

@@ -81,6 +81,12 @@ class EmbeddingEngine:
       mesh: Device mesh; None runs unsharded (single device / CPU).
       table_axis: Mesh axis name over which table rows shard.
       dtype: Table dtype.
+      row_sharding: How logical rows map to shards: "div" (contiguous
+        blocks, the GSPMD default) or "mod" (row r on shard r % S, the TF
+        TPU embedding engine's layout — spreads hot low-id rows across
+        shards for skewed id distributions). "mod" stores tables in a
+        physically permuted layout and translates ids on lookup/update;
+        use `logical_tables` to read rows in logical order.
     """
 
     def __init__(
@@ -90,12 +96,18 @@ class EmbeddingEngine:
         mesh: Optional[Mesh] = None,
         table_axis: str = mesh_lib.MODEL_AXIS,
         dtype=jnp.float32,
+        row_sharding: str = "div",
     ) -> None:
+        if row_sharding not in ("div", "mod"):
+            raise ValueError(
+                f"row_sharding must be 'div' or 'mod', got {row_sharding!r}"
+            )
         self.feature_configs = tuple(feature_configs)
         self.default_optimizer = optimizer or config_lib.OptimizerSpec()
         self.mesh = mesh
         self.table_axis = table_axis
         self.dtype = dtype
+        self.row_sharding = row_sharding
 
         self._tables: Dict[str, config_lib.TableConfig] = {}
         for fc in self.feature_configs:
@@ -116,6 +128,62 @@ class EmbeddingEngine:
             return None
         return NamedSharding(self.mesh, P(self.table_axis, None))
 
+    # --- Mod-sharding row permutation -------------------------------------
+    #
+    # "mod" places logical row r on shard r % S. Implemented as a physical
+    # permutation under ordinary contiguous GSPMD sharding: with P padded
+    # rows and rows-per-shard R = P / S,
+    #     physical(r) = (r % S) * R + r // S
+    # so shard s's contiguous block [s·R, (s+1)·R) holds exactly the rows
+    # {r : r % S == s}. Ids translate with two integer ops; everything
+    # downstream (gather, scatter, slots) is layout-agnostic.
+
+    def _num_shards(self) -> int:
+        if self.mesh is None:
+            return 1
+        return self.mesh.shape[self.table_axis]
+
+    def _padded_rows(self, tc: config_lib.TableConfig) -> int:
+        return embedding_lib._pad_vocab(tc.vocabulary_size)
+
+    def _to_physical(self, ids: Array, tc: config_lib.TableConfig) -> Array:
+        """Logical → physical ids (identity under div sharding). PAD_ID
+        and other negatives pass through untouched."""
+        s = self._num_shards()
+        if self.row_sharding != "mod" or s == 1:
+            return ids
+        rows_per_shard = self._padded_rows(tc) // s
+        phys = (ids % s) * rows_per_shard + ids // s
+        return jnp.where(ids < 0, ids, phys)
+
+    def _physical_permutation(self, tc: config_lib.TableConfig) -> Array:
+        """`perm[p] = logical row stored at physical slot p`."""
+        s = self._num_shards()
+        padded = self._padded_rows(tc)
+        rows_per_shard = padded // s
+        p = jnp.arange(padded, dtype=jnp.int32)
+        return (p % rows_per_shard) * s + p // rows_per_shard
+
+    def logical_tables(self, state: "EngineState") -> Dict[str, Array]:
+        """Tables with rows in logical id order (for export/inspection).
+
+        Under "div" sharding this is the stored layout; under "mod" the
+        physical permutation is inverted. Mod-sharded `EngineState`
+        checkpoints are topology-dependent (the physical layout bakes in
+        the shard count, like the TF engine's sharded checkpoints,
+        tpu_embedding_layer.py:940-957); round-trip through this method
+        to move between topologies.
+        """
+        if self.row_sharding != "mod" or self._num_shards() == 1:
+            return dict(state.tables)
+        out = {}
+        for name, tc in self._tables.items():
+            inverse = self._to_physical(
+                jnp.arange(self._padded_rows(tc), dtype=jnp.int32), tc
+            )
+            out[name] = jnp.take(state.tables[name], inverse, axis=0)
+        return out
+
     # --- State ------------------------------------------------------------
 
     def init(self, rng: Array) -> EngineState:
@@ -129,7 +197,15 @@ class EmbeddingEngine:
             padded = embedding_lib._pad_vocab(tc.vocabulary_size)
 
             def make(key=key, init=init, padded=padded, tc=tc):
-                return init(key, (padded, tc.dim), self.dtype)
+                table = init(key, (padded, tc.dim), self.dtype)
+                if self.row_sharding == "mod" and self._num_shards() > 1:
+                    # Store physically permuted so contiguous GSPMD
+                    # sharding realizes the mod layout; stays faithful to
+                    # deterministic per-row initializers.
+                    table = jnp.take(
+                        table, self._physical_permutation(tc), axis=0
+                    )
+                return table
 
             if sharding is not None:
                 table = jax.jit(make, out_shardings=sharding)()
@@ -167,8 +243,17 @@ class EmbeddingEngine:
         for fname, feature in features.items():
             fc = self._configs[fname]
             table = jax.lax.stop_gradient(state.tables[fc.table.name])
-            out[fname] = embedding_lib.lookup_feature(table, fc, feature)
+            out[fname] = embedding_lib.lookup_feature(
+                table, fc, self._physical_feature(fc, feature)
+            )
         return out
+
+    def _physical_feature(
+        self, fc: config_lib.FeatureConfig, feature: FeatureInput
+    ) -> FeatureInput:
+        ids, weights = _split_feature(feature)
+        ids = self._to_physical(ids, fc.table)
+        return ids if weights is None else (ids, weights)
 
     # --- Backward ---------------------------------------------------------
 
@@ -228,7 +313,9 @@ class EmbeddingEngine:
         per_table_grads: Dict[str, list] = {}
         for fname, grad in activation_grads.items():
             fc = self._configs[fname]
-            ids, grads = self._row_grads(fc, features[fname], grad)
+            ids, grads = self._row_grads(
+                fc, self._physical_feature(fc, features[fname]), grad
+            )
             per_table_ids.setdefault(fc.table.name, []).append(ids)
             per_table_grads.setdefault(fc.table.name, []).append(grads)
 

@@ -98,6 +98,15 @@ def init_slots(
             ),
             "linear": jnp.zeros_like(table),
         }
+    if spec.kind == "clippy":
+        return {
+            "accumulator": jnp.full_like(
+                table, spec.initial_accumulator_value
+            ),
+            # Last step's scalar clipping factor (the reference's
+            # export_clipping_factors equivalent).
+            "clipping_factor": jnp.ones((), table.dtype),
+        }
     raise ValueError(f"Unknown optimizer kind {spec.kind!r}")
 
 
@@ -119,6 +128,10 @@ def apply_sparse(
     """
     ids, grads = dedupe_sum(ids, grads)
     uids = _unique_ids(ids, table.shape[0])
+    # Learning rate at this step (float, or the schedule evaluated on the
+    # traced step counter — the reference's dynamic-LR translation,
+    # tpu_embedding_layer.py:1014-1082).
+    lr = spec.lr_at(step)
 
     def read(buf, fill=0.0):
         return buf.at[uids].get(mode="fill", fill_value=fill)
@@ -130,12 +143,12 @@ def apply_sparse(
         return buf.at[uids].set(rows, mode="drop", unique_indices=True)
 
     if spec.kind == "sgd":
-        return add(table, -spec.learning_rate * grads), slots
+        return add(table, -lr * grads), slots
 
     if spec.kind == "adagrad":
         accum = add(slots["accumulator"], jnp.square(grads))
         scale = jax.lax.rsqrt(read(accum, fill=1.0) + 1e-12)
-        table = add(table, -spec.learning_rate * grads * scale)
+        table = add(table, -lr * grads * scale)
         return table, {"accumulator": accum}
 
     if spec.kind == "adam":
@@ -149,14 +162,50 @@ def apply_sparse(
         t = step.astype(jnp.float32) + 1.0
         m_hat = m_rows / (1 - spec.beta1**t)
         v_hat = v_rows / (1 - spec.beta2**t)
-        delta = -spec.learning_rate * m_hat / (
+        delta = -lr * m_hat / (
             jnp.sqrt(v_hat) + spec.epsilon
         )
         return add(table, delta), {"m": put(m, m_rows), "v": put(v, v_rows)}
 
+    if spec.kind == "clippy":
+        # Sparse ClippyAdagrad: the reference's IndexedSlices path
+        # (experimental/optimizers/clippy_adagrad.py:188-254). The
+        # clipping factor is a single scalar over the touched rows;
+        # padding slots contribute delta == 0, whose per-element scale is
+        # defined as 1 (shrink_by_references semantics), so they never
+        # tighten the clip.
+        accum = slots["accumulator"]
+        if spec.use_standard_accumulator_update:
+            accum = add(accum, jnp.square(grads))
+        w = read(table)
+        a = read(accum, fill=1.0)
+        precondition = jax.lax.rsqrt(a + spec.epsilon)
+        delta = lr * grads * precondition
+        max_delta = (
+            spec.absolute_threshold
+            + jnp.abs(w) * spec.variable_relative_threshold
+            + precondition * spec.accumulator_relative_threshold
+        )
+        abs_delta = jnp.abs(delta)
+        per_element = jnp.where(
+            delta == 0.0,
+            1.0,
+            jnp.where(abs_delta > 0.0, max_delta / abs_delta, 1.0),
+        )
+        factor = jnp.minimum(1.0, jnp.min(per_element))
+        if not spec.use_standard_accumulator_update:
+            acc_update = (
+                grads * factor if spec.clip_accumulator_update else grads
+            )
+            accum = add(accum, jnp.square(acc_update))
+        table = add(table, -delta * factor)
+        return table, {
+            "accumulator": accum,
+            "clipping_factor": factor.astype(table.dtype),
+        }
+
     if spec.kind == "ftrl":
         accum, linear = slots["accumulator"], slots["linear"]
-        lr = spec.learning_rate
         lrp = spec.learning_rate_power
         l1 = spec.l1_regularization_strength
         l2 = spec.l2_regularization_strength

@@ -29,6 +29,7 @@ Array = jax.Array
 _FN_FILE = "computation.stablehlo"
 _MLIR_FILE = "module.mlir"
 _DATA_FILE = "arrays.npz"
+_COMPILE_OPTIONS_FILE = "compile_options.pb"
 
 
 def export_fn(path: str, fn: Callable, *example_args) -> None:
@@ -49,6 +50,13 @@ def export_fn(path: str, fn: Callable, *example_args) -> None:
         f.write(exported.serialize())
     with open(os.path.join(path, _MLIR_FILE), "w") as f:
         f.write(exported.mlir_module())
+    # Serialized default CompileOptionsProto for non-JAX hosts
+    # (native/pjrt_host.cc passes it to PJRT_Client_Compile).
+    from recommenders_tpu.utils import native_serving
+
+    native_serving.write_compile_options(
+        os.path.join(path, _COMPILE_OPTIONS_FILE)
+    )
 
 
 def load_fn(path: str) -> Callable:

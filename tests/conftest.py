@@ -22,5 +22,26 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: needs the real TPU chip (runs subprocesses that claim it); "
+        "skipped unless RTPU_TPU_TESTS=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RTPU_TPU_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="TPU-hardware test; set RTPU_TPU_TESTS=1 to run "
+        "(tools/release_test.sh does when a chip is reachable)"
+    )
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)

@@ -369,3 +369,188 @@ def test_ftrl_closed_form_single_step():
         z,
         rtol=1e-6,
     )
+
+
+def test_clippy_closed_form_and_dense_oracle():
+    """Sparse Clippy (reference clippy_adagrad.py:165-254) matches both a
+    hand-computed step and the dense optax clippy_adagrad applied to a
+    gradient that is zero on untouched rows (zero-delta rows contribute
+    scale 1, so dense and gathered-rows clipping agree exactly)."""
+    import importlib
+
+    clippy_lib = importlib.import_module(
+        "recommenders_tpu.optimizers.clippy_adagrad"
+    )
+
+    lr, acc0, eps = 0.5, 0.1, 1e-7
+    rel_var, rel_acc, abs_t = 0.1, 0.05, 1e-7
+    spec = config_lib.OptimizerSpec(
+        kind="clippy", learning_rate=lr, initial_accumulator_value=acc0,
+        epsilon=eps, variable_relative_threshold=rel_var,
+        accumulator_relative_threshold=rel_acc, absolute_threshold=abs_t,
+    )
+    table = config_lib.TableConfig(10, 2, name="t", optimizer=spec)
+    eng = engine_lib.EmbeddingEngine(
+        (config_lib.FeatureConfig(table=table, name="x"),)
+    )
+    state = eng.init(jax.random.PRNGKey(0))
+    w0 = np.asarray(state.tables["t"]).copy()
+
+    g = np.asarray([4.0, -2.0])  # Large: the clip must engage.
+
+    def linear(acts):
+        return jnp.sum(acts["x"] * jnp.asarray(g)[None, :])
+
+    new_state, _, _ = eng.grad_and_update(
+        state, {"x": jnp.asarray([7], jnp.int32)}, linear
+    )
+
+    # Closed form (delayed accumulator update, unclipped accumulator).
+    precond = 1.0 / np.sqrt(acc0 + eps)
+    delta = lr * g * precond
+    max_delta = abs_t + np.abs(w0[7]) * rel_var + precond * rel_acc
+    factor = min(1.0, float(np.min(max_delta / np.abs(delta))))
+    expected_row = w0[7] - delta * factor
+    np.testing.assert_allclose(
+        np.asarray(new_state.tables["t"])[7], expected_row, rtol=1e-5
+    )
+    assert factor < 1.0  # The clip actually engaged.
+    np.testing.assert_allclose(
+        np.asarray(new_state.slots["t"]["accumulator"])[7],
+        acc0 + g * g,
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(new_state.slots["t"]["clipping_factor"])),
+        factor,
+        rtol=1e-5,
+    )
+
+    # Dense optax oracle over the whole table.
+    import optax
+
+    opt = clippy_lib.clippy_adagrad(
+        learning_rate=lr, initial_accumulator_value=acc0,
+        variable_relative_threshold=rel_var,
+        accumulator_relative_threshold=rel_acc,
+        absolute_threshold=abs_t, epsilon=eps,
+    )
+    dense_grad = np.zeros_like(w0)
+    dense_grad[7] = g
+    params = {"t": jnp.asarray(w0)}
+    opt_state = opt.init(params)
+    updates, _ = opt.update(
+        {"t": jnp.asarray(dense_grad)}, opt_state, params
+    )
+    dense_next = optax.apply_updates(params, updates)["t"]
+    np.testing.assert_allclose(
+        np.asarray(new_state.tables["t"]), np.asarray(dense_next),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_clippy_trains_engine_tables():
+    """End-to-end: clippy as the engine optimizer reduces the loss."""
+    spec = config_lib.OptimizerSpec(kind="clippy", learning_rate=0.5)
+    eng = engine_lib.EmbeddingEngine(_configs(), optimizer=spec)
+    state = eng.init(jax.random.PRNGKey(1))
+    features = _features(seed=3)
+    losses = []
+    for _ in range(30):
+        state, loss, _ = eng.grad_and_update(
+            state, features, _loss_of_acts
+        )
+        losses.append(float(loss))
+    # The scalar per-table clip factor (min over touched elements, the
+    # reference semantics) throttles early steps, so expect steady but
+    # modest progress.
+    assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
+    assert all(b <= a + 1e-6 for a, b in zip(losses, losses[1:])), losses
+
+
+def test_learning_rate_schedule_applies_per_step():
+    """A callable learning_rate is evaluated on the engine step counter
+    (the reference's dynamic-LR translation,
+    tpu_embedding_layer.py:1014-1082)."""
+    def schedule(step):
+        return 0.1 * jnp.where(step < 1, 1.0, 0.5)
+
+    spec = config_lib.OptimizerSpec(kind="sgd", learning_rate=schedule)
+    table = config_lib.TableConfig(10, 1, name="t", optimizer=spec)
+    eng = engine_lib.EmbeddingEngine(
+        (config_lib.FeatureConfig(table=table, name="x"),)
+    )
+    state = eng.init(jax.random.PRNGKey(0))
+    w0 = float(np.asarray(state.tables["t"])[2, 0])
+
+    def linear(acts):
+        return jnp.sum(acts["x"])  # grad = 1 on touched rows.
+
+    state, _, _ = eng.grad_and_update(
+        state, {"x": jnp.asarray([2], jnp.int32)}, linear
+    )
+    w1 = float(np.asarray(state.tables["t"])[2, 0])
+    np.testing.assert_allclose(w0 - w1, 0.1, rtol=1e-6)  # step 0: lr .1
+    state, _, _ = eng.grad_and_update(
+        state, {"x": jnp.asarray([2], jnp.int32)}, linear
+    )
+    w2 = float(np.asarray(state.tables["t"])[2, 0])
+    np.testing.assert_allclose(w1 - w2, 0.05, rtol=1e-6)  # step 1: lr .05
+
+
+def test_mod_sharded_engine_matches_div():
+    """Mod-sharding is a pure layout change: activations and (logically
+    reordered) tables must match the div-sharded engine bit-for-bit on
+    the 8-device mesh, and rows must actually land mod-S (the TF TPU
+    embedding engine's placement)."""
+    mesh = mesh_lib.create_mesh(shape=(2, 4))
+    features = _features(seed=5)
+    eng_mod = engine_lib.EmbeddingEngine(
+        _configs(), mesh=mesh, row_sharding="mod"
+    )
+    eng_div = engine_lib.EmbeddingEngine(_configs(), mesh=mesh)
+    s_mod = eng_mod.init(jax.random.PRNGKey(0))
+    s_div = eng_div.init(jax.random.PRNGKey(0))
+
+    # Same logical rows, different physical layout.
+    logical = eng_mod.logical_tables(s_mod)
+    for name in s_div.tables:
+        np.testing.assert_allclose(
+            np.asarray(logical[name]),
+            np.asarray(s_div.tables[name]),
+            rtol=1e-6,
+        )
+        # Physical layout differs (it's actually permuted).
+        assert not np.allclose(
+            np.asarray(s_mod.tables[name]), np.asarray(s_div.tables[name])
+        )
+        # Logical row r lives in physical block r % S (S = 4 shards).
+        padded = np.asarray(s_mod.tables[name]).shape[0]
+        rps = padded // 4
+        phys_of_r = lambda r: (r % 4) * rps + r // 4  # noqa: E731
+        for r in (0, 1, 5, 10):
+            np.testing.assert_allclose(
+                np.asarray(s_mod.tables[name])[phys_of_r(r)],
+                np.asarray(s_div.tables[name])[r],
+                rtol=1e-6,
+            )
+
+    # Lookups agree.
+    acts_mod = eng_mod.lookup(s_mod, features)
+    acts_div = eng_div.lookup(s_div, features)
+    for k in acts_div:
+        np.testing.assert_allclose(
+            np.asarray(acts_mod[k]), np.asarray(acts_div[k]), rtol=1e-6
+        )
+
+    # A training step agrees after undoing the layout.
+    n_mod = eng_mod.grad_and_update(s_mod, features, _loss_of_acts)[0]
+    n_div = eng_div.grad_and_update(s_div, features, _loss_of_acts)[0]
+    logical_after = eng_mod.logical_tables(n_mod)
+    for name in n_div.tables:
+        np.testing.assert_allclose(
+            np.asarray(logical_after[name]),
+            np.asarray(n_div.tables[name]),
+            rtol=1e-5,
+            atol=1e-6,
+        )

@@ -1,0 +1,160 @@
+"""Real-TPU tests (marker: tpu; enabled with RTPU_TPU_TESTS=1).
+
+These are the release gates the CPU-mesh suite cannot provide
+(VERDICT r1 items 1 and 8):
+
+  1. the C++ PJRT serving host executes an exported index on the chip
+     with bit parity against the Python query path — the reference's
+     SavedModel → TF-Serving round-trip
+     (tensorflow_recommenders/layers/factorized_top_k_test.py:75-83);
+  2. the Bucketed Pallas kernel runs COMPILED (non-interpret) — Mosaic
+     lowering regressions surface here, not in the interpret-mode CPU
+     tests;
+  3. one embedding-engine step runs compiled on the chip.
+
+Operational constraints (hard-won): the tunneled chip is
+single-claimant — each phase runs in its own subprocess that exits
+(releasing the session) before the next starts; the test process itself
+stays on CPU (conftest) and never claims the chip. A killed TPU process
+leaves a claim that takes ~1-2 min to expire, so phases get generous
+timeouts and never overlap.
+"""
+
+import os
+import subprocess
+import textwrap
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.tpu
+
+
+def _tpu_env():
+    """Subprocess env that restores the ambient axon TPU platform."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "axon"
+    flags = env.get("XLA_FLAGS", "").split()
+    env["XLA_FLAGS"] = " ".join(
+        f for f in flags if "host_platform_device_count" not in f
+    )
+    return env
+
+
+def _run_on_tpu(script: str, timeout: float = 420.0) -> str:
+    """Runs a Python script in a TPU-claiming subprocess; returns stdout."""
+    proc = subprocess.run(
+        ["python", "-c", textwrap.dedent(script)],
+        capture_output=True,
+        text=True,
+        env=_tpu_env(),
+        cwd=REPO,
+        timeout=timeout,
+    )
+    if proc.returncode != 0:
+        raise AssertionError(
+            f"TPU subprocess failed (exit {proc.returncode}):\n"
+            f"stdout: {proc.stdout[-2000:]}\nstderr: {proc.stderr[-4000:]}"
+        )
+    return proc.stdout
+
+
+def test_native_host_serves_exported_index(tmp_path):
+    """export_index → C++ pjrt_host on the chip → bit parity."""
+    from recommenders_tpu.utils import native_serving as ns
+
+    assert ns.axon_available(), "axon plugin or host binary missing"
+    work = str(tmp_path)
+
+    # Phase A (TPU subprocess): build + export the index and record the
+    # Python query path's answers, then exit to release the chip.
+    _run_on_tpu(f"""
+        import sys; sys.path.insert(0, {REPO!r})
+        import numpy as np, jax.numpy as jnp
+        from recommenders_tpu.layers import factorized_top_k as ftk
+        from recommenders_tpu.utils import export as ex
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+        c = jnp.asarray(rng.normal(size=(512, 64)).astype(np.float32))
+        ids = jnp.asarray(np.arange(512, dtype=np.int32) * 3)
+        index = ftk.BruteForce(k=10).index(c, ids)
+        es, ei = index(q)
+        ex.export_index({work!r} + "/bf", index, q, k=10)
+        np.save({work!r} + "/q.npy", np.asarray(q))
+        np.save({work!r} + "/expected_scores.npy", np.asarray(es))
+        np.save({work!r} + "/expected_ids.npy", np.asarray(ei))
+        print("phase A ok")
+    """)
+
+    # Phase B: the C++ host claims the chip, compiles, executes.
+    res = ns.serve_exported_index(
+        os.path.join(work, "bf"), np.load(os.path.join(work, "q.npy"))
+    )
+    assert "ok" in res.stdout
+    assert res.compile_ms is not None
+
+    # Phase C (CPU, in-process): bit parity.
+    scores, out_ids = res.outputs
+    np.testing.assert_array_equal(
+        out_ids, np.load(os.path.join(work, "expected_ids.npy"))
+    )
+    np.testing.assert_allclose(
+        scores,
+        np.load(os.path.join(work, "expected_scores.npy")),
+        rtol=1e-6,
+        atol=1e-6,
+    )
+
+
+def test_bucketed_kernel_compiled_on_chip():
+    """The Pallas kernel lowers through Mosaic and matches its oracle.
+
+    ids must agree ≥99% with the jnp reference on the same backend (MXU
+    dot precision may differ between Mosaic and XLA, so exact equality
+    is not required — a lowering regression shows up as a crash or
+    wholesale disagreement)."""
+    _run_on_tpu("""
+        import sys; sys.path.insert(0, ".")
+        import numpy as np, jax, jax.numpy as jnp
+        from recommenders_tpu.ops import scoring
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
+        c = jnp.asarray(rng.normal(size=(8192, 128)).astype(np.float32))
+        vals, ids = scoring.bucketed_top_k(
+            q, c, k=10, buckets=2048, chunk=2048)
+        rv, ri = scoring.bucketed_top_k_reference(q, c, k=10, buckets=2048)
+        ids, ri = np.asarray(ids), np.asarray(ri)
+        agree = float((ids == ri).mean())
+        assert agree >= 0.99, f"kernel/oracle id agreement {agree}"
+        assert np.isfinite(np.asarray(vals)).all()
+        print("compiled kernel ok, agreement", agree)
+    """)
+
+
+def test_embedding_engine_step_on_chip():
+    """One engine lookup+update step compiles and runs on the chip."""
+    _run_on_tpu("""
+        import sys; sys.path.insert(0, ".")
+        import numpy as np, jax, jax.numpy as jnp
+        from recommenders_tpu.embedding import config as cfg
+        from recommenders_tpu.embedding.engine import EmbeddingEngine
+        table = cfg.TableConfig(
+            vocabulary_size=1000, dim=64, name="t",
+            optimizer=cfg.OptimizerSpec(kind="adagrad", learning_rate=0.1))
+        eng = EmbeddingEngine((cfg.FeatureConfig(table=table, name="x"),))
+        state = eng.init(jax.random.PRNGKey(0))
+        ids = jnp.asarray(np.random.RandomState(2).randint(0, 1000, 64),
+                          jnp.int32)
+        before = np.asarray(state.tables["t"]).copy()
+
+        def loss(acts):
+            return jnp.sum(jnp.square(acts["x"]))
+
+        state2, l, _ = eng.grad_and_update(state, {"x": ids}, loss)
+        after = np.asarray(state2.tables["t"])
+        assert np.isfinite(l)
+        assert not np.allclose(before, after)
+        print("engine step ok, loss", float(l))
+    """)
