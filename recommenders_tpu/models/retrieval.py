@@ -50,12 +50,20 @@ class EmbeddingTower(nn.Module):
     vocab_size: int
     embedding_dim: int
     mlp_units: Sequence[int] = ()
+    # Defaults to 1/sqrt(dim) truncated normal — the TPU-embedding
+    # default (config.default_initializer). Flax's stddev-1 default
+    # starts logits ~dim× too hot and measurably slows early
+    # convergence (head-to-head harness, tools/reference_parity.py).
+    embedding_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, ids: Array) -> Array:
-        x = nn.Embed(self.vocab_size, self.embedding_dim)(
-            jnp.maximum(ids, 0)
+        init = self.embedding_init or nn.initializers.truncated_normal(
+            stddev=self.embedding_dim ** -0.5
         )
+        x = nn.Embed(
+            self.vocab_size, self.embedding_dim, embedding_init=init
+        )(jnp.maximum(ids, 0))
         if self.mlp_units:
             x = blocks.MLP(units=tuple(self.mlp_units))(x)
         return x
@@ -82,9 +90,13 @@ class SequenceTower(nn.Module):
     @nn.compact
     def __call__(self, ids: Array) -> Array:
         mask = ids != PAD_ID
-        x = nn.Embed(self.vocab_size, self.embedding_dim)(
-            jnp.maximum(ids, 0)
-        )
+        x = nn.Embed(
+            self.vocab_size,
+            self.embedding_dim,
+            embedding_init=nn.initializers.truncated_normal(
+                stddev=self.embedding_dim ** -0.5
+            ),
+        )(jnp.maximum(ids, 0))
         x = x * mask[..., None].astype(x.dtype)
         if self.encoder == "gru":
             x = sequential_lib.GRUEncoder(

@@ -209,3 +209,18 @@ def test_combined_options_weights_hard_negatives_extra_candidates():
         ce = -(pos - np.log(np.exp(logits).sum()))
         total += w[i] * ce
     np.testing.assert_allclose(float(out.loss), total, rtol=1e-4)
+
+
+def test_score_dtype_bf16_close_to_f32():
+    """bf16 scoring inputs with f32 accumulation track the f32 loss."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+    f32 = tasks.Retrieval()(q, c)
+    b16 = tasks.Retrieval(score_dtype=jnp.bfloat16)(q, c)
+    assert b16.scores.dtype == jnp.float32  # f32 accumulation.
+    np.testing.assert_allclose(
+        float(b16.loss), float(f32.loss), rtol=2e-2
+    )

@@ -1,0 +1,398 @@
+"""Head-to-head quality parity: reference TFRS vs recommenders_tpu.
+
+Trains BOTH frameworks on the SAME synthetic interactions (same split,
+same model capacity, same optimizer family) and compares:
+
+  - two-tower retrieval: factorized top-k accuracy at 10/50/100
+    (reference's published axis: top-100 ≈ 0.27-0.29 on real ML-100K,
+    docs/examples/deep_recommenders.ipynb);
+  - rating regression: RMSE (reference's multitask axis: ≈ 1.11,
+    docs/examples/multitask.ipynb).
+
+The reference implementation itself is imported from /root/reference
+(TFRS v0.7.7 under TF/tf-keras on CPU) and RUN, not reimplemented — this
+is the strongest parity evidence available without real MovieLens files.
+
+Usage:
+  python tools/reference_parity.py [--interactions 100000] [--epochs 3]
+      [--tolerance 0.05] [--out docs/PARITY_HEAD_TO_HEAD.md]
+
+Exit code 1 if any metric differs by more than the tolerance.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
+os.environ.setdefault("CUDA_VISIBLE_DEVICES", "")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np  # noqa: E402
+
+
+def _dataset(args):
+    from recommenders_tpu import data as data_lib
+
+    ds = data_lib.synthetic_movielens(
+        num_users=args.users,
+        num_movies=args.movies,
+        num_interactions=args.interactions,
+        num_clusters=20,
+        seed=args.seed,
+    )
+    return ds.split(train_fraction=0.8, seed=17)
+
+
+# --- Reference (TFRS on TF/Keras) -----------------------------------------
+
+
+def run_reference_retrieval(train, test, args):
+    import tensorflow as tf
+
+    sys.path.insert(0, "/root/reference")
+    import tensorflow_recommenders as tfrs
+
+    tf.random.set_seed(args.seed)
+
+    class Model(tfrs.Model):
+        # Towers/task as attributes so Keras tracks the task's metrics.
+        def __init__(self):
+            super().__init__()
+            self.user_model = tf.keras.Sequential(
+                [tf.keras.layers.Embedding(train.num_users, args.dim)]
+            )
+            self.movie_model = tf.keras.Sequential(
+                [tf.keras.layers.Embedding(train.num_movies, args.dim)]
+            )
+            movies = tf.data.Dataset.from_tensor_slices(
+                np.arange(train.num_movies, dtype=np.int64)
+            )
+            self.task = tfrs.tasks.Retrieval(
+                metrics=tfrs.metrics.FactorizedTopK(
+                    candidates=movies.batch(4096).map(self.movie_model)
+                )
+            )
+
+        def compute_loss(self, features, training=False):
+            user_emb = self.user_model(features["user_id"])
+            movie_emb = self.movie_model(features["movie_id"])
+            return self.task(
+                user_emb, movie_emb, compute_metrics=not training
+            )
+
+    model = Model()
+    model.compile(
+        optimizer=tf.keras.optimizers.legacy.Adagrad(args.lr)
+    )
+
+    def to_ds(split, shuffle):
+        d = tf.data.Dataset.from_tensor_slices(
+            {
+                "user_id": split.user_ids.astype(np.int64),
+                "movie_id": split.movie_ids.astype(np.int64),
+            }
+        )
+        if shuffle:
+            d = d.shuffle(200_000, seed=args.seed)
+        return d.batch(args.batch)
+
+    t0 = time.time()
+    model.fit(to_ds(train, True), epochs=args.epochs, verbose=0)
+    train_s = time.time() - t0
+    metrics = model.evaluate(to_ds(test, False), return_dict=True, verbose=0)
+    return {
+        "top_10": metrics["factorized_top_k/top_10_categorical_accuracy"],
+        "top_50": metrics["factorized_top_k/top_50_categorical_accuracy"],
+        "top_100": metrics[
+            "factorized_top_k/top_100_categorical_accuracy"
+        ],
+        "train_seconds": train_s,
+    }
+
+
+def run_reference_ranking(train, test, args):
+    import tensorflow as tf
+
+    sys.path.insert(0, "/root/reference")
+    import tensorflow_recommenders as tfrs
+
+    tf.random.set_seed(args.seed)
+
+    class Model(tfrs.Model):
+        def __init__(self):
+            super().__init__()
+            self.user_emb = tf.keras.layers.Embedding(
+                train.num_users, args.dim
+            )
+            self.movie_emb = tf.keras.layers.Embedding(
+                train.num_movies, args.dim
+            )
+            self.head = tf.keras.Sequential(
+                [
+                    tf.keras.layers.Dense(64, activation="relu"),
+                    tf.keras.layers.Dense(1),
+                ]
+            )
+            self.task = tfrs.tasks.Ranking(
+                loss=tf.keras.losses.MeanSquaredError(),
+                metrics=[
+                    tf.keras.metrics.RootMeanSquaredError(name="rmse")
+                ],
+            )
+
+        def call(self, features):
+            x = tf.concat(
+                [
+                    self.user_emb(features["user_id"]),
+                    self.movie_emb(features["movie_id"]),
+                ],
+                axis=1,
+            )
+            return self.head(x)
+
+        def compute_loss(self, features, training=False):
+            pred = self(features)
+            return self.task(
+                labels=features["rating"], predictions=tf.squeeze(pred, -1)
+            )
+
+    model = Model()
+    model.compile(optimizer=tf.keras.optimizers.legacy.Adagrad(args.lr))
+
+    def to_ds(split, shuffle):
+        d = tf.data.Dataset.from_tensor_slices(
+            {
+                "user_id": split.user_ids.astype(np.int64),
+                "movie_id": split.movie_ids.astype(np.int64),
+                "rating": split.ratings.astype(np.float32),
+            }
+        )
+        if shuffle:
+            d = d.shuffle(200_000, seed=args.seed)
+        return d.batch(args.batch)
+
+    model.fit(to_ds(train, True), epochs=args.epochs, verbose=0)
+    metrics = model.evaluate(to_ds(test, False), return_dict=True, verbose=0)
+    return {"rmse": metrics["rmse"]}
+
+
+# --- Ours (recommenders_tpu on JAX CPU) -----------------------------------
+
+
+def run_ours_retrieval(train, test, args):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import optax
+
+    from recommenders_tpu import data as data_lib
+    from recommenders_tpu import models as models_lib
+    from recommenders_tpu.models.retrieval import (
+        evaluate_with_corpus_metrics,
+    )
+
+    import jax.numpy as jnp
+
+    # Match the reference's Keras Embedding default init
+    # (RandomUniform(-0.05, 0.05)) so the comparison isolates framework
+    # behavior rather than initialization recipes.
+    def keras_uniform(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -0.05, 0.05)
+
+    model = models_lib.TwoTowerRetrieval(
+        query_tower=lambda: models_lib.EmbeddingTower(
+            train.num_users, args.dim, embedding_init=keras_uniform
+        ),
+        candidate_tower=lambda: models_lib.EmbeddingTower(
+            train.num_movies, args.dim, embedding_init=keras_uniform
+        ),
+    )
+    trainer = models_lib.Trainer(model, optax.adagrad(args.lr))
+    batches = data_lib.batched(
+        train.as_dict(), args.batch, shuffle=True, seed=args.seed
+    )
+    state = trainer.init(jax.random.PRNGKey(args.seed), next(batches()))
+    t0 = time.time()
+    state, _ = trainer.fit(
+        state, batches, epochs=args.epochs, verbose=False
+    )
+    train_s = time.time() - t0
+
+    eval_batches = data_lib.batched(test.as_dict(), args.batch)
+    corpus = {
+        "movie_id": np.arange(train.num_movies, dtype=np.int32)
+    }
+    results = evaluate_with_corpus_metrics(
+        trainer, state, eval_batches, corpus, ks=(10, 50, 100)
+    )
+    return {
+        "top_10": results[
+            "factorized_top_k/top_10_categorical_accuracy"
+        ],
+        "top_50": results[
+            "factorized_top_k/top_50_categorical_accuracy"
+        ],
+        "top_100": results[
+            "factorized_top_k/top_100_categorical_accuracy"
+        ],
+        "train_seconds": train_s,
+    }
+
+
+def run_ours_ranking(train, test, args):
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from recommenders_tpu import data as data_lib
+    from recommenders_tpu import models as models_lib
+    from recommenders_tpu import tasks as tasks_lib
+    from recommenders_tpu.metrics import base as metrics_base
+
+    class RatingModel(models_lib.Model):
+        num_users: int
+        num_movies: int
+        dim: int
+
+        def setup(self):
+            def keras_uniform(key, shape, dtype=jnp.float32):
+                return jax.random.uniform(key, shape, dtype, -0.05, 0.05)
+
+            self.user_emb = nn.Embed(
+                self.num_users, self.dim, embedding_init=keras_uniform
+            )
+            self.movie_emb = nn.Embed(
+                self.num_movies, self.dim, embedding_init=keras_uniform
+            )
+            self.dense1 = nn.Dense(64)
+            self.dense2 = nn.Dense(1)
+            self.task = tasks_lib.Ranking(
+                loss_fn=tasks_lib.mean_squared_error
+            )
+
+        def compute_loss(self, batch, training=False):
+            x = jnp.concatenate(
+                [
+                    self.user_emb(batch["user_id"]),
+                    self.movie_emb(batch["movie_id"]),
+                ],
+                axis=-1,
+            )
+            pred = self.dense2(nn.relu(self.dense1(x)))[:, 0]
+            out = self.task(batch["rating"], pred)
+            return out.loss, {"ranking": out}
+
+        def metrics(self):
+            return {"rmse": metrics_base.RootMeanSquaredError()}
+
+        def update_metrics(self, states, batch, aux):
+            out = aux["ranking"]
+            return {
+                "rmse": metrics_base.RootMeanSquaredError().update(
+                    states["rmse"], out.labels, out.predictions
+                )
+            }
+
+    model = RatingModel(train.num_users, train.num_movies, args.dim)
+    trainer = models_lib.Trainer(model, optax.adagrad(args.lr))
+    batches = data_lib.batched(
+        train.as_dict(), args.batch, shuffle=True, seed=args.seed
+    )
+    state = trainer.init(jax.random.PRNGKey(args.seed), next(batches()))
+    state, _ = trainer.fit(
+        state, batches, epochs=args.epochs, verbose=False
+    )
+    results = trainer.evaluate(
+        state, data_lib.batched(test.as_dict(), args.batch)
+    )
+    return {"rmse": results["rmse"]}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--users", type=int, default=943)
+    p.add_argument("--movies", type=int, default=1682)
+    p.add_argument("--interactions", type=int, default=100_000)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--dim", type=int, default=32)
+    p.add_argument("--batch", type=int, default=8192)
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--tolerance", type=float, default=0.05)
+    p.add_argument("--rmse-tolerance", type=float, default=0.1)
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args()
+
+    train, test = _dataset(args)
+    print(
+        f"dataset: {len(train)} train / {len(test)} test interactions, "
+        f"{train.num_users} users x {train.num_movies} movies"
+    )
+
+    print("training reference TFRS retrieval (TF/CPU)...")
+    ref_r = run_reference_retrieval(train, test, args)
+    print("  ", ref_r)
+    print("training recommenders_tpu retrieval (JAX/CPU)...")
+    ours_r = run_ours_retrieval(train, test, args)
+    print("  ", ours_r)
+
+    print("training reference TFRS ranking (TF/CPU)...")
+    ref_k = run_reference_ranking(train, test, args)
+    print("  ", ref_k)
+    print("training recommenders_tpu ranking (JAX/CPU)...")
+    ours_k = run_ours_ranking(train, test, args)
+    print("  ", ours_k)
+
+    rows = [
+        ("retrieval top-10", ref_r["top_10"], ours_r["top_10"],
+         args.tolerance),
+        ("retrieval top-50", ref_r["top_50"], ours_r["top_50"],
+         args.tolerance),
+        ("retrieval top-100", ref_r["top_100"], ours_r["top_100"],
+         args.tolerance),
+        ("ranking RMSE", ref_k["rmse"], ours_k["rmse"],
+         args.rmse_tolerance),
+    ]
+    lines = [
+        "| metric | reference TFRS | recommenders_tpu | abs diff | ok |",
+        "|---|---|---|---|---|",
+    ]
+    ok = True
+    for name, ref, ours, tol in rows:
+        diff = abs(ref - ours)
+        good = diff <= tol
+        ok = ok and good
+        lines.append(
+            f"| {name} | {ref:.4f} | {ours:.4f} | {diff:.4f} | "
+            f"{'yes' if good else 'NO'} |"
+        )
+    table = "\n".join(lines)
+    print()
+    print(table)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(
+                "# Head-to-head quality parity (same data, same "
+                "capacity, same optimizer)\n\n"
+                f"Command: `python tools/reference_parity.py "
+                f"--interactions {args.interactions} --epochs "
+                f"{args.epochs}`\n\n" + table + "\n\n"
+                f"Reference train time: {ref_r['train_seconds']:.1f}s, "
+                f"ours: {ours_r['train_seconds']:.1f}s "
+                "(both single-process CPU)\n"
+            )
+        print(f"\nwrote {args.out}")
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
