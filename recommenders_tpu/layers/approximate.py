@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from recommenders_tpu.layers import factorized_top_k
+from recommenders_tpu.ops import leaf_scoring
 from recommenders_tpu.ops import topk as topk_ops
 
 Array = jax.Array
@@ -156,6 +157,70 @@ def _pack_leaves(
     return embs, ids, rows, valid
 
 
+def _quantize_rows(
+    embs: np.ndarray,
+    anisotropic_threshold: Optional[float],
+    iterations: int = 3,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row int8 quantization with optional score-aware scales.
+
+    Plain mode (threshold None): abs-max scaling.
+
+    Anisotropic mode: the ScaNN paper's insight (Guo et al. 2020,
+    "Accelerating Large-Scale Inference with Anisotropic Vector
+    Quantization" — the math behind the reference's
+    `score_ah(..., anisotropic_quantization_threshold)`,
+    layers/factorized_top_k.py:688-707) is that quantization error
+    PARALLEL to the datapoint perturbs inner-product scores of the
+    high-scoring queries far more than orthogonal error, so it should be
+    weighted η > 1 times heavier. For per-row scalar scales the
+    anisotropic objective has a closed form: with code q, a = v·q,
+    b = ‖q‖², c² = ‖v‖²,
+
+        L(s) = (η−1)·(‖v‖ − s·a/‖v‖)² + ‖v‖² − 2sa + s²b
+        s*   = η·a / ((η−1)·a²/c² + b)
+
+    (η = 1 recovers the least-squares scale a/b). Alternating the code
+    `q = round(v/s)` with s* converges in 2-3 iterations. η follows the
+    paper's threshold parameterization η = (d−1)·T²/(1−T²).
+
+    Args:
+      embs: `[..., D]` float rows (zero rows pass through untouched).
+      anisotropic_threshold: ScaNN's `anisotropic_quantization_threshold`
+        (T); None disables the score-aware refinement.
+      iterations: Code/scale alternations.
+
+    Returns:
+      `(scales, codes)` with `scales[...]` f32 and `codes[..., D]` int8.
+    """
+    v = embs.astype(np.float32)
+    scales = np.maximum(np.abs(v).max(axis=-1), 1e-12) / 127.0
+    if anisotropic_threshold is None:
+        codes = np.clip(
+            np.round(v / scales[..., None]), -127, 127
+        ).astype(np.int8)
+        return scales, codes
+
+    t = float(anisotropic_threshold)
+    d = v.shape[-1]
+    eta = max((d - 1) * t * t / max(1.0 - t * t, 1e-6), 1.0)
+    norm2 = np.sum(np.square(v), axis=-1)
+    s = scales
+    codes = None
+    for _ in range(iterations):
+        codes = np.clip(np.round(v / s[..., None]), -127, 127)
+        a = np.sum(v * codes, axis=-1)
+        b = np.sum(np.square(codes), axis=-1)
+        denom = (eta - 1.0) * np.square(a) / np.maximum(
+            norm2, 1e-12
+        ) + b
+        s = np.where(
+            (b > 0) & (norm2 > 0), eta * a / np.maximum(denom, 1e-12), s
+        )
+        s = np.maximum(s, 1e-12)
+    return s.astype(np.float32), codes.astype(np.int8)
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_probes", "k", "quantized")
 )
@@ -176,16 +241,28 @@ def _search(
     cscores = queries @ centroids.T  # [Q, L]
     _, probes = jax.lax.top_k(cscores, num_probes)  # [Q, P]
 
-    embs = leaf_embs[probes]  # [Q, P, cap, D] gather
-    if quantized:
-        embs = embs.astype(jnp.float32) * leaf_scales[probes][..., None]
-    scores = jnp.einsum(
-        "qd,qpcd->qpc", queries, embs, preferred_element_type=jnp.float32
-    )
-    q = queries.shape[0]
+    q, d = queries.shape
+    cap = leaf_embs.shape[1]
+    scales = leaf_scales if quantized else None
+    # The Pallas kernel streams probed leaves HBM→VMEM and never
+    # materializes the [Q, P, cap, D] gather (17 GB at the module
+    # defaults on a 1M×128 corpus); the reference formulation remains
+    # for CPU and for shapes off the tiling grid.
+    if (
+        jax.default_backend() != "cpu"
+        and d % 128 == 0
+        and cap % 128 == 0
+    ):
+        scores = leaf_scoring.probed_leaf_scores(
+            queries, leaf_embs, scales, probes
+        )
+    else:
+        scores = leaf_scoring.probed_scores_reference(
+            queries, leaf_embs, scales, probes
+        )
     scores = jnp.where(
-        leaf_valid[probes], scores, MIN_FLOAT
-    ).reshape(q, -1)
+        leaf_valid[probes].reshape(q, -1), scores, MIN_FLOAT
+    )
     ids = leaf_ids[probes].reshape(q, -1)
     rows = leaf_rows[probes].reshape(q, -1)
     k = min(k, scores.shape[1])
@@ -235,6 +312,12 @@ class ScaNN(factorized_top_k.TopK):
       num_leaves_to_search: Leaves probed per query.
       training_iterations: Lloyd iterations at index build.
       quantize: Store leaves as int8 with per-row scales.
+      anisotropic_quantization_threshold: ScaNN's score-aware
+        quantization dial (`score_ah`'s parameter of the same name):
+        per-row scales minimize the anisotropic loss that weights
+        parallel quantization error η = (d−1)T²/(1−T²) times heavier
+        than orthogonal (Guo et al. 2020). None falls back to abs-max
+        scaling. Only meaningful with `quantize=True`.
       num_reordering_candidates: If set, shortlist size re-scored exactly
         from the float corpus before the final top-k.
       leaf_capacity: Rows per leaf; defaults to `1.3 × N / num_leaves`
@@ -253,6 +336,7 @@ class ScaNN(factorized_top_k.TopK):
         num_leaves_to_search: int = 10,
         training_iterations: int = 10,
         quantize: bool = False,
+        anisotropic_quantization_threshold: Optional[float] = 0.2,
         num_reordering_candidates: Optional[int] = None,
         leaf_capacity: Optional[int] = None,
         query_batch: int = 256,
@@ -264,6 +348,7 @@ class ScaNN(factorized_top_k.TopK):
         self._num_probes = min(num_leaves_to_search, num_leaves)
         self._iterations = training_iterations
         self._quantize = quantize
+        self._anisotropic_threshold = anisotropic_quantization_threshold
         self._reorder_n = num_reordering_candidates
         self._leaf_capacity = leaf_capacity
         self._query_batch = query_batch
@@ -290,16 +375,19 @@ class ScaNN(factorized_top_k.TopK):
 
         num_leaves = min(self._num_leaves, n)
         if self._leaf_capacity is not None:
-            capacity = self._leaf_capacity
-            if num_leaves * capacity < n:
+            # Leaf blocks feed the Pallas scorer; keep them on the
+            # 128-row tiling grid.
+            capacity = _round_up(self._leaf_capacity, 128)
+            if num_leaves * self._leaf_capacity < n:
                 raise ValueError(
                     f"num_leaves ({num_leaves}) × leaf_capacity "
-                    f"({capacity}) = {num_leaves * capacity} cannot hold "
+                    f"({self._leaf_capacity}) = "
+                    f"{num_leaves * self._leaf_capacity} cannot hold "
                     f"the {n}-row corpus."
                 )
         else:
             capacity = _round_up(
-                max(1, int(np.ceil(1.3 * n / num_leaves))), 8
+                max(1, int(np.ceil(1.3 * n / num_leaves))), 128
             )
 
         centroids = kmeans(
@@ -314,12 +402,9 @@ class ScaNN(factorized_top_k.TopK):
         self._leaf_rows = jnp.asarray(rows)
         self._leaf_valid = jnp.asarray(valid)
         if self._quantize:
-            scales = np.maximum(
-                np.abs(embs).max(axis=-1), 1e-12
-            ) / 127.0  # [L, cap]
-            q = np.clip(
-                np.round(embs / scales[..., None]), -127, 127
-            ).astype(np.int8)
+            scales, q = _quantize_rows(
+                embs, self._anisotropic_threshold
+            )
             self._leaf_embs = jnp.asarray(q)
             self._leaf_scales = jnp.asarray(scales.astype(np.float32))
         else:

@@ -10,7 +10,8 @@ the reference:
     against the scores returned by the index, with `tf.math.in_top_k` tie
     semantics (metrics/factorized_top_k.py:181-192);
   - id-based (true ids given): retrieved ids are matched against the true
-    ids, NaN-padded entries ignored, multiple matches counted once
+    ids, padded entries (MIN_FLOAT-score slots — this package's analog of
+    the reference's NaN padding) ignored, multiple matches counted once
     (metrics/factorized_top_k.py:141-180). Required for approximate
     indexes, whose scores are not comparable to exact dot products.
 
@@ -123,10 +124,14 @@ class FactorizedTopK(Factorized):
             # Id-based evaluation.
             if true_candidate_ids.ndim == 1:
                 true_candidate_ids = true_candidate_ids[:, None]
-            nan_padding = jnp.isnan(top_k_predictions)
+            # Padding slots (k > corpus, masked leaf slots, …) carry the
+            # MIN_FLOAT sentinel in every index in this package — the
+            # analog of the reference's NaN padding
+            # (metrics/factorized_top_k.py:125-131); without the mask a
+            # padded slot's id 0 could spuriously match true id 0.
+            padding = top_k_predictions <= layers_ftk.MIN_FLOAT / 2
             ids_match = (
-                jnp.equal(true_candidate_ids, retrieved_ids)
-                & ~nan_padding
+                jnp.equal(true_candidate_ids, retrieved_ids) & ~padding
             ).astype(jnp.float32)
             for k in self._ks:
                 match_found = jnp.clip(

@@ -257,6 +257,53 @@ class TwoTowerRetrieval(models_base.Model):
         return new_states
 
 
+def make_corpus_eval_step(model, metric, candidate_key=None):
+    """One fully jitted corpus-eval step: embed → index → metric update.
+
+    The reference's eval stack crosses into host-bound tf.data per batch
+    (`layers/factorized_top_k.py:496-507`); the round-1 rebuild still
+    called the index from Python inside `FactorizedTopK.update`. For a
+    DEVICE-RESIDENT index (BruteForce, Streaming over in-memory arrays,
+    Bucketed) the whole per-batch pipeline — query tower, corpus scan,
+    top-k, accuracy accumulation — is one pure function, so it compiles
+    into a single dispatch here. Measured effect: per-batch Python/
+    dispatch overhead drops to one call (see benchmarks/corpus_eval.py).
+
+    Args:
+      model: A `TwoTowerRetrieval`-contract model (has
+        `query_embeddings` and a scalar id `candidate_key`).
+      metric: A `FactorizedTopK` whose index is device-resident.
+      candidate_key: Batch key of the true candidate id; defaults to
+        `model.candidate_key`.
+
+    Returns:
+      `step(params, metric_state, batch, corpus_embeddings) ->
+      metric_state`, jitted. `corpus_embeddings` is the `[num_candidates,
+      dim]` array used to look up true-candidate embeddings by id (pass
+      the same embeddings the index was built from).
+    """
+    import jax as _jax
+
+    key = candidate_key or (
+        model.candidate_key
+        if isinstance(model.candidate_key, str)
+        else model.candidate_key[0]
+    )
+
+    @_jax.jit
+    def step(params, mstate, batch, corpus_embeddings):
+        queries = model.apply(
+            {"params": params}, batch, method="query_embeddings"
+        )
+        true_ids = batch[key]
+        true_embs = jnp.take(corpus_embeddings, true_ids, axis=0)
+        return metric.update(
+            mstate, queries, true_embs, true_candidate_ids=true_ids
+        )
+
+    return step
+
+
 def evaluate_with_corpus_metrics(
     trainer,
     state,
@@ -316,10 +363,11 @@ def evaluate_with_corpus_metrics(
             scores, ids = index.query_with_exclusions(
                 queries, batch[exclusions_key], k=max(ks)
             )
-            # Feed pre-queried results through id-based accounting.
-            nan_pad = jnp.isnan(scores)
+            # Feed pre-queried results through id-based accounting
+            # (MIN_FLOAT marks padded/excluded slots in this package).
+            pad = scores <= ftk.MIN_FLOAT / 2
             match = (
-                jnp.equal(true_ids[:, None], ids) & ~nan_pad
+                jnp.equal(true_ids[:, None], ids) & ~pad
             ).astype(jnp.float32)
             for k in ks:
                 found = jnp.clip(jnp.sum(match[:, :k], axis=1), 0.0, 1.0)

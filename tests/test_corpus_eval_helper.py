@@ -76,3 +76,39 @@ def test_exclusions_lower_or_equal_accuracy(trained):
     assert excluded[
         "factorized_top_k/top_10_categorical_accuracy"
     ] < 0.01, excluded
+
+
+def test_jit_corpus_eval_step_matches_python_loop(trained):
+    """The single-dispatch jitted eval step (make_corpus_eval_step) must
+    produce the same accuracies as the Python-loop helper."""
+    from recommenders_tpu.layers import factorized_top_k as ftk
+    from recommenders_tpu.metrics import (
+        factorized_top_k as ftk_metric,
+    )
+
+    trainer, state, train, test = trained
+    model = trainer.model
+    candidate_batch = {"movie_id": np.arange(250, dtype=np.int32)}
+    corpus = model.apply(
+        {"params": state.params}, candidate_batch,
+        method="candidate_embeddings",
+    )
+    index = ftk.BruteForce(k=100).index(corpus)
+    metric = ftk_metric.FactorizedTopK(candidates=index, ks=(10, 100))
+
+    step = retrieval_model.make_corpus_eval_step(model, metric)
+    mstate = metric.init()
+    for batch in data_lib.batched(test.as_dict(), 512)():
+        mstate = step(state.params, mstate, batch, corpus)
+    jit_results = {
+        name: float(v) for name, v in metric.result(mstate).items()
+    }
+
+    loop_results = retrieval_model.evaluate_with_corpus_metrics(
+        trainer, state, data_lib.batched(test.as_dict(), 512),
+        candidate_batch, ks=(10, 100),
+    )
+    for name in jit_results:
+        np.testing.assert_allclose(
+            jit_results[name], loop_results[name], rtol=1e-6
+        )

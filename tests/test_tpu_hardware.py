@@ -133,6 +133,37 @@ def test_bucketed_kernel_compiled_on_chip():
     """)
 
 
+def test_leaf_scoring_kernel_compiled_on_chip():
+    """The ScaNN leaf-scoring kernel lowers through Mosaic (f32 and
+    int8/dequant variants) and matches the gather-formulation oracle."""
+    _run_on_tpu("""
+        import sys; sys.path.insert(0, ".")
+        import numpy as np, jax, jax.numpy as jnp
+        from recommenders_tpu.ops import leaf_scoring
+        from recommenders_tpu.layers import approximate
+        rng = np.random.RandomState(4)
+        embs = rng.normal(size=(16, 256, 128)).astype(np.float32)
+        queries = jnp.asarray(rng.normal(size=(32, 128)).astype(np.float32))
+        probes = jnp.asarray(rng.randint(0, 16, size=(32, 4)), jnp.int32)
+        got = leaf_scoring.probed_leaf_scores(
+            queries, jnp.asarray(embs), None, probes)
+        want = leaf_scoring.probed_scores_reference(
+            queries, jnp.asarray(embs), None, probes)
+        # Mosaic's dot and XLA's einsum may use different MXU pass
+        # precisions; scores are O(sqrt(D)) ~ 11, so atol 0.2 is ~2%.
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-2, atol=0.2)
+        scales, codes = approximate._quantize_rows(embs, 0.2)
+        got_q = leaf_scoring.probed_leaf_scores(
+            queries, jnp.asarray(codes), jnp.asarray(scales), probes)
+        want_q = leaf_scoring.probed_scores_reference(
+            queries, jnp.asarray(codes), jnp.asarray(scales), probes)
+        np.testing.assert_allclose(
+            np.asarray(got_q), np.asarray(want_q), rtol=5e-2, atol=0.2)
+        print("leaf kernel compiled ok")
+    """)
+
+
 def test_embedding_engine_step_on_chip():
     """One engine lookup+update step compiles and runs on the chip."""
     _run_on_tpu("""
