@@ -1,9 +1,17 @@
 """ANN serving benchmark: recall/qps curves at large corpus scale.
 
-Measures the ScaNN-style index (leaf-scoring Pallas kernel + int8
-anisotropic quantization) against the Bucketed kernel and brute force on
-the real chip, at corpus sizes up to SURVEY §7 config-5 territory.
-Ground truth at scale is computed by chunked exact scoring on device.
+Measures the ScaNN-style index (device-resident build + leaf-scoring
+Pallas kernel + int8 anisotropic quantization) against the Bucketed
+kernel and chunked exact scoring on the real chip, at corpus sizes up to
+SURVEY §7 config-5 territory.
+
+Nothing large crosses the host link: the clustered corpus is GENERATED
+on device with jax.random, the index builds on device
+(`ScaNN._index_device`), and ground truth is a chunked exact top-k that
+runs as one jitted loop — only the final `[Q, k]` id matrices return to
+the host. (The remote-attached chip's tunnel moves ~25 MB/s; a 10M×128
+f32 corpus would take ~3.5 minutes PER TRANSFER the host-build path
+needs several of.)
 
 The reference's published serving numbers are colab-CPU ScaNN
 ("~2 ms/query over ~1M", "15× faster than brute force",
@@ -11,14 +19,15 @@ docs/examples/efficient_serving.ipynb); this prints the TPU-native
 equivalents with recall attached.
 
 Usage:
-  python benchmarks/ann.py --corpus 1000000 [--dim 128] [--queries 256]
-      [--configs default,tuned] [--skip-brute]
+  python benchmarks/ann.py --corpus 10000000 [--dim 128] [--queries 256]
+      [--skip-exact-timing] [--skip-bucketed]
 
 Time-derived query seeds defeat the tunnel's (program, input) result
 cache (CLAUDE.md gotcha).
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -30,38 +39,72 @@ sys.path.insert(
 
 import numpy as np  # noqa: E402
 
+NUM_CLUSTERS = 256
+NOISE = 0.6
 
-def _ground_truth(queries, corpus, k, chunk=1 << 18):
-    """Exact top-k by chunked device scoring (fits any corpus)."""
+
+def _make_corpus_fns(dim, seed):
+    """Device-side clustered data generators (recsys embeddings are not
+    isotropic noise)."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def score(q, c):
-        return q @ c.T
+    centers = jax.random.normal(
+        jax.random.PRNGKey(seed), (NUM_CLUSTERS, dim), jnp.float32
+    )
 
-    q = jnp.asarray(queries)
-    best_scores = np.full((queries.shape[0], k), -np.inf, np.float32)
-    best_ids = np.zeros((queries.shape[0], k), np.int64)
-    for start in range(0, corpus.shape[0], chunk):
-        block = jnp.asarray(corpus[start:start + chunk])
-        s = np.asarray(score(q, block))
-        merged = np.concatenate([best_scores, s], axis=1)
-        merged_ids = np.concatenate(
-            [
-                best_ids,
-                np.broadcast_to(
-                    np.arange(start, start + block.shape[0]),
-                    s.shape,
-                ),
-            ],
-            axis=1,
+    @functools.partial(jax.jit, static_argnames=("n", "salt"))
+    def sample(n, salt):
+        key = jax.random.PRNGKey(seed + salt)
+        ka, kn = jax.random.split(key)
+        a = jax.random.randint(ka, (n,), 0, NUM_CLUSTERS)
+        return centers[a] + NOISE * jax.random.normal(
+            kn, (n, dim), jnp.float32
         )
-        idx = np.argpartition(-merged, k - 1, axis=1)[:, :k]
-        best_scores = np.take_along_axis(merged, idx, axis=1)
-        best_ids = np.take_along_axis(merged_ids, idx, axis=1)
-    order = np.argsort(-best_scores, axis=1)
-    return np.take_along_axis(best_ids, order, axis=1)
+
+    return sample
+
+
+def _exact_topk_device(queries, corpus, k, chunk=1 << 19):
+    """Chunked exact top-k fully on device (merging running top-k)."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("k", "chunk"))
+    def run(queries, corpus, k, chunk):
+        n, d = corpus.shape
+        q = queries.shape[0]
+
+        def merge(s, i, block_scores, base):
+            ids = base + jnp.arange(
+                block_scores.shape[1], dtype=jnp.int32
+            )
+            cs = jnp.concatenate([s, block_scores], axis=1)
+            ci = jnp.concatenate(
+                [i, jnp.broadcast_to(ids, block_scores.shape)], axis=1
+            )
+            ts, ti = jax.lax.top_k(cs, k)
+            return ts, jnp.take_along_axis(ci, ti, axis=1)
+
+        s = jnp.full((q, k), -jnp.inf, jnp.float32)
+        i = jnp.zeros((q, k), jnp.int32)
+        nfull = n // chunk
+        if nfull:
+            def body(b, carry):
+                s, i = carry
+                block = jax.lax.dynamic_slice(
+                    corpus, (b * chunk, 0), (chunk, d)
+                )
+                return merge(s, i, queries @ block.T, b * chunk)
+
+            s, i = jax.lax.fori_loop(0, nfull, body, (s, i))
+        if n % chunk:
+            s, i = merge(
+                s, i, queries @ corpus[nfull * chunk:].T, nfull * chunk
+            )
+        return s, i
+
+    return run(queries, corpus, k, chunk)
 
 
 def _recall(ids, truth):
@@ -73,12 +116,12 @@ def _recall(ids, truth):
 
 def _time_queries(fn, queries_fn, trials=5):
     """Median seconds per invocation over fresh query batches."""
-    fn(queries_fn())  # compile
-    times = []
     import jax
 
+    jax.block_until_ready(fn(queries_fn()))  # compile
+    times = []
     for _ in range(trials):
-        q = queries_fn()
+        q = jax.block_until_ready(queries_fn())
         t0 = time.perf_counter()
         out = fn(q)
         jax.block_until_ready(out)
@@ -92,7 +135,7 @@ def main():
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--queries", type=int, default=256)
     p.add_argument("--k", type=int, default=100)
-    p.add_argument("--skip-brute", action="store_true")
+    p.add_argument("--skip-exact-timing", action="store_true")
     p.add_argument("--skip-bucketed", action="store_true")
     args = p.parse_args()
 
@@ -105,62 +148,59 @@ def main():
     print(f"backend={jax.default_backend()} corpus={n}x{d} "
           f"queries={qn} k={k}", file=sys.stderr)
 
-    rng = np.random.RandomState(0)
-    # Clustered corpus (recsys embeddings are not isotropic noise).
-    num_clusters = 256
-    centers = rng.normal(size=(num_clusters, d)).astype(np.float32)
-    assign = rng.randint(0, num_clusters, n)
-    corpus = (
-        centers[assign] + 0.6 * rng.normal(size=(n, d))
-    ).astype(np.float32)
+    sample = _make_corpus_fns(d, seed=0)
+    t0 = time.time()
+    corpus = jax.block_until_ready(sample(n, 0))
+    print(f"corpus generated on device in {time.time() - t0:.1f}s",
+          file=sys.stderr)
 
     seed0 = int(time.time())  # Defeat the tunnel result cache.
+    salt = [0]
 
-    def fresh_queries(seed_offset=[0]):
-        seed_offset[0] += 1
-        r = np.random.RandomState(seed0 + seed_offset[0])
-        a = r.randint(0, num_clusters, qn)
-        return jnp.asarray(
-            (centers[a] + 0.6 * r.normal(size=(qn, d))).astype(
-                np.float32
-            )
-        )
+    def fresh_queries():
+        salt[0] += 1
+        return sample(qn, seed0 + salt[0])
 
-    fixed_queries = np.asarray(fresh_queries())
-    truth = _ground_truth(fixed_queries, corpus, k)
+    fixed_queries = sample(qn, 1 << 30)
+    t0 = time.time()
+    _, truth_ids = _exact_topk_device(fixed_queries, corpus, k)
+    truth = np.asarray(truth_ids)
+    print(f"ground truth in {time.time() - t0:.1f}s", file=sys.stderr)
 
     results = []
 
-    def bench(name, index, sized_bytes):
+    def bench(name, query_fn, sized_bytes, build_s=None):
         t0 = time.time()
-        qps = qn / _time_queries(
-            lambda q: index(q, k), fresh_queries
-        )
-        _, ids = index(jnp.asarray(fixed_queries), k)
+        qps = qn / _time_queries(query_fn, fresh_queries)
+        _, ids = query_fn(fixed_queries)
         rec = _recall(np.asarray(ids), truth)
-        results.append(
-            {
-                "config": name,
-                "qps": round(qps),
-                "recall_at_100": round(rec, 4),
-                "index_mb": round(sized_bytes / 2**20),
-            }
-        )
+        entry = {
+            "config": name,
+            "qps": round(qps),
+            "recall_at_100": round(rec, 4),
+            "index_mb": round(sized_bytes / 2**20),
+        }
+        if build_s is not None:
+            entry["build_s"] = round(build_s, 1)
+        results.append(entry)
         print(f"  {name}: {qps:,.0f} q/s, recall@{k} {rec:.4f} "
               f"({time.time() - t0:.0f}s)", file=sys.stderr)
 
-    if not args.skip_brute:
-        print("brute force...", file=sys.stderr)
-        bf = factorized_top_k.BruteForce(k=k).index(jnp.asarray(corpus))
-        bench("brute_force", bf, n * d * 4)
+    if not args.skip_exact_timing:
+        print("exact (chunked device scan)...", file=sys.stderr)
+        bench(
+            "exact_chunked",
+            lambda q: _exact_topk_device(q, corpus, k),
+            n * d * 4,
+        )
 
     if not args.skip_bucketed and d % 128 == 0:
         print("bucketed...", file=sys.stderr)
         bk = factorized_top_k.Bucketed(
             k=k, buckets=4096, chunk=4096, query_tile=128,
             corpus_dtype=jnp.bfloat16,
-        ).index(jnp.asarray(corpus))
-        bench("bucketed_bf16_4096", bk, n * d * 2)
+        ).index(corpus)
+        bench("bucketed_bf16_4096", lambda q: bk(q, k), n * d * 2)
 
     leaves = max(64, 1 << int(np.log2(np.sqrt(n) * 2)))
     for probes, reorder in ((leaves // 16, None),
@@ -169,7 +209,7 @@ def main():
         name = f"scann_L{leaves}_P{probes}" + (
             f"_R{reorder}" if reorder else ""
         )
-        print(f"{name} (build ~mins at 10M)...", file=sys.stderr)
+        print(f"{name}...", file=sys.stderr)
         t0 = time.time()
         index = approximate.ScaNN(
             k=k,
@@ -179,10 +219,16 @@ def main():
             anisotropic_quantization_threshold=0.2,
             num_reordering_candidates=reorder,
             query_batch=qn,
+            kmeans_sample_size=min(n, 1 << 21),
+            training_iterations=8,
         )
-        index.index(corpus)
-        print(f"  built in {time.time() - t0:.0f}s", file=sys.stderr)
-        bench(name, index, int(n * 1.3) * d)
+        index.index(corpus)  # jax.Array → device-resident build
+        build_s = time.time() - t0
+        print(f"  built on device in {build_s:.0f}s", file=sys.stderr)
+        bench(name, lambda q: index(q, k), int(n * 1.3) * d,
+              build_s=build_s)
+        # Release per-config leaf blocks before the next build.
+        del index
 
     print(json.dumps({"corpus": n, "dim": d, "results": results}))
 

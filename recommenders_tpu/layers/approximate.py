@@ -157,6 +157,264 @@ def _pack_leaves(
     return embs, ids, rows, valid
 
 
+@functools.partial(jax.jit, static_argnames=("r", "chunk"))
+def _topr_assign_device(
+    corpus: Array, centroids: Array, r: int, chunk: int
+) -> Array:
+    """Top-`r` nearest centroids per row, corpus resident on device.
+
+    Iterates fixed-size corpus chunks with `dynamic_slice` (no padded
+    copy of the corpus — at 10M×128 a pad would transiently double HBM)
+    so the `[chunk, L]` affinity transient bounds memory; nothing
+    crosses the host boundary (on a remote-attached chip the host link
+    is the scarce resource — see CLAUDE.md on tunnel bandwidth)."""
+    n, d = corpus.shape
+    half_norms = 0.5 * jnp.sum(jnp.square(centroids), axis=1)
+
+    def top(block):
+        affinity = block @ centroids.T - half_norms
+        if r == 1:
+            return jnp.argmax(affinity, axis=1)[:, None].astype(jnp.int32)
+        _, idx = jax.lax.top_k(affinity, r)
+        return idx.astype(jnp.int32)
+
+    nfull = n // chunk
+    out = jnp.zeros((n, r), jnp.int32)
+    if nfull:
+        def body(i, out):
+            block = jax.lax.dynamic_slice(
+                corpus, (i * chunk, 0), (chunk, d)
+            )
+            return jax.lax.dynamic_update_slice(
+                out, top(block), (i * chunk, 0)
+            )
+
+        out = jax.lax.fori_loop(0, nfull, body, out)
+    if n % chunk:
+        out = out.at[nfull * chunk:].set(top(corpus[nfull * chunk:]))
+    return out
+
+
+def _assign_device(corpus: Array, centroids: Array, chunk: int) -> Array:
+    """Nearest-centroid assignment with the corpus resident on device."""
+    return _topr_assign_device(corpus, centroids, 1, chunk)[:, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_clusters", "chunk")
+)
+def _kmeans_step_device(
+    corpus: Array, centroids: Array, reseed: Array, num_clusters: int,
+    chunk: int,
+) -> Array:
+    """One Lloyd iteration fully on device (assign + segment-sum)."""
+    assignments = _assign_device(corpus, centroids, chunk)
+    sums = jax.ops.segment_sum(
+        corpus, assignments, num_segments=num_clusters
+    )
+    counts = jax.ops.segment_sum(
+        jnp.ones((corpus.shape[0],), jnp.float32),
+        assignments,
+        num_segments=num_clusters,
+    )
+    empty = counts == 0
+    new = sums / jnp.maximum(counts, 1.0)[:, None]
+    # Empty clusters re-seed from (pre-selected) random corpus rows.
+    return jnp.where(empty[:, None], reseed, new)
+
+
+def kmeans_device(
+    corpus: Array,
+    num_clusters: int,
+    iterations: int = 10,
+    seed: int = 0,
+    chunk: int = 16384,
+    sample: Optional[int] = None,
+) -> Array:
+    """Lloyd's k-means with the corpus resident on device throughout.
+
+    Equivalent to `kmeans` but with ZERO per-iteration host↔device
+    corpus traffic — the build-path requirement for 10M+ corpora behind
+    a slow host link, and the faster path on any TPU host.
+
+    `sample` caps the training-set size (random row subset) the Lloyd
+    iterations run on — ScaNN likewise trains its partitioner on a
+    sample; centroid quality saturates far below full-corpus size while
+    assignment cost is linear in it."""
+    rng = np.random.RandomState(seed)
+    n = corpus.shape[0]
+    train = corpus
+    if sample is not None and sample < n:
+        train = corpus[jnp.asarray(rng.choice(n, size=sample, replace=False))]
+        n = sample
+    centroids = train[
+        jnp.asarray(rng.choice(n, size=num_clusters, replace=False))
+    ]
+    for _ in range(iterations):
+        reseed = train[
+            jnp.asarray(rng.randint(0, n, size=num_clusters))
+        ]
+        centroids = _kmeans_step_device(
+            train, centroids, reseed, num_clusters, chunk
+        )
+    return centroids
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_leaves", "capacity")
+)
+def _pack_assign_device(
+    choices: Array, num_leaves: int, capacity: int
+) -> Tuple[Array, Array, Array]:
+    """Bounded-capacity leaf assignment from per-row top-R choices.
+
+    Device twin of `_pack_leaves`' spill logic, restructured for SPMD:
+    instead of a sequential walk over overflow rows, run R vectorized
+    rounds — in round j every still-unplaced row bids for its j-th
+    nearest leaf, ranks among that leaf's bidders via a stable sort, and
+    is accepted while `fill + rank < capacity`. Rows a leaf rejects in
+    round j spill to their (j+1)-th choice next round, matching the
+    host path's next-nearest-with-space semantics up to tie order.
+
+    Returns `(leaf_of, slot_of, unplaced)` where unplaced rows carry the
+    sentinel `leaf_of == num_leaves` (callers scatter with mode="drop").
+    """
+    n, r = choices.shape
+    iota = jnp.arange(n, dtype=jnp.int32)
+    leaf_of = jnp.full((n,), num_leaves, jnp.int32)
+    slot_of = jnp.zeros((n,), jnp.int32)
+    fill = jnp.zeros((num_leaves,), jnp.int32)
+    for j in range(r):
+        unplaced = leaf_of == num_leaves
+        cand = jnp.where(unplaced, choices[:, j], num_leaves)
+        safe = jnp.minimum(cand, num_leaves - 1)
+        order = jnp.argsort(cand, stable=True)
+        sorted_cand = cand[order]
+        group_start = jnp.searchsorted(
+            sorted_cand, jnp.arange(num_leaves, dtype=sorted_cand.dtype)
+        ).astype(jnp.int32)
+        rank_sorted = iota - group_start[
+            jnp.minimum(sorted_cand, num_leaves - 1)
+        ]
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+        slot = rank + fill[safe]
+        ok = unplaced & (slot < capacity)
+        leaf_of = jnp.where(ok, cand, leaf_of)
+        slot_of = jnp.where(ok, slot, slot_of)
+        fill = fill + jax.ops.segment_sum(
+            ok.astype(jnp.int32), safe, num_segments=num_leaves
+        )
+
+    # Final fallback, mirroring the host path's "next-nearest leaf WITH
+    # SPACE" guarantee beyond the R-choice horizon: remaining rows pack
+    # into the global pool of free slots in leaf order (a vectorized
+    # matching via cumulative free capacity), so packing only fails when
+    # total capacity is genuinely short.
+    unplaced = leaf_of == num_leaves
+    free = capacity - fill
+    cum = jnp.cumsum(free)
+    pos = jnp.cumsum(unplaced.astype(jnp.int32)) - 1  # rank among unplaced
+    dest_leaf = jnp.searchsorted(cum, pos, side="right").astype(jnp.int32)
+    in_pool = unplaced & (pos < cum[-1])
+    safe_leaf = jnp.minimum(dest_leaf, num_leaves - 1)
+    prev_cum = jnp.where(safe_leaf > 0, cum[safe_leaf - 1], 0)
+    dest_slot = pos - prev_cum + fill[safe_leaf]
+    leaf_of = jnp.where(in_pool, safe_leaf, leaf_of)
+    slot_of = jnp.where(in_pool, dest_slot, slot_of)
+    return leaf_of, slot_of, jnp.sum(leaf_of == num_leaves)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("anisotropic_threshold", "iterations", "chunk")
+)
+def _quantize_rows_device(
+    embs: Array,
+    anisotropic_threshold: Optional[float],
+    iterations: int = 3,
+    chunk: int = 1 << 20,
+) -> Tuple[Array, Array]:
+    """Device twin of `_quantize_rows` (same closed forms), processed in
+    row blocks: per-row quantization is independent, so the f32
+    intermediates (`v/s`, pre-clip codes) exist only at `[chunk, D]` —
+    at 10M×128 the unblocked form transiently allocates >15 GB."""
+    n, d = embs.shape
+    if n <= chunk:
+        return _quantize_block(embs, anisotropic_threshold, iterations)
+    scales = jnp.zeros((n,), jnp.float32)
+    codes = jnp.zeros((n, d), jnp.int8)
+    nfull = n // chunk
+
+    def body(i, carry):
+        s, c = carry
+        block = jax.lax.dynamic_slice(embs, (i * chunk, 0), (chunk, d))
+        bs, bc = _quantize_block(block, anisotropic_threshold, iterations)
+        return (
+            jax.lax.dynamic_update_slice(s, bs, (i * chunk,)),
+            jax.lax.dynamic_update_slice(c, bc, (i * chunk, 0)),
+        )
+
+    scales, codes = jax.lax.fori_loop(0, nfull, body, (scales, codes))
+    if n % chunk:
+        bs, bc = _quantize_block(
+            embs[nfull * chunk:], anisotropic_threshold, iterations
+        )
+        scales = scales.at[nfull * chunk:].set(bs)
+        codes = codes.at[nfull * chunk:].set(bc)
+    return scales, codes
+
+
+def _quantize_block(
+    embs: Array,
+    anisotropic_threshold: Optional[float],
+    iterations: int = 3,
+) -> Tuple[Array, Array]:
+    v = embs.astype(jnp.float32)
+    scales = jnp.maximum(jnp.abs(v).max(axis=-1), 1e-12) / 127.0
+    if anisotropic_threshold is None:
+        codes = jnp.clip(
+            jnp.round(v / scales[..., None]), -127, 127
+        ).astype(jnp.int8)
+        return scales, codes
+
+    t = float(anisotropic_threshold)
+    d = v.shape[-1]
+    eta = max((d - 1) * t * t / max(1.0 - t * t, 1e-6), 1.0)
+    norm2 = jnp.sum(jnp.square(v), axis=-1)
+    s = scales
+    codes = None
+    for _ in range(iterations):
+        codes = jnp.clip(jnp.round(v / s[..., None]), -127, 127)
+        a = jnp.sum(v * codes, axis=-1)
+        b = jnp.sum(jnp.square(codes), axis=-1)
+        denom = (eta - 1.0) * jnp.square(a) / jnp.maximum(
+            norm2, 1e-12
+        ) + b
+        s = jnp.where(
+            (b > 0) & (norm2 > 0),
+            eta * a / jnp.maximum(denom, 1e-12),
+            s,
+        )
+        s = jnp.maximum(s, 1e-12)
+    return s.astype(jnp.float32), codes.astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_leaves", "capacity")
+)
+def _scatter_leaves(
+    values: Array, leaf_of: Array, slot_of: Array,
+    num_leaves: int, capacity: int,
+) -> Array:
+    """Scatter per-row values into `[num_leaves, capacity, ...]` blocks;
+    unplaced rows (sentinel leaf == num_leaves) drop out of bounds."""
+    shape = (num_leaves, capacity) + values.shape[1:]
+    return (
+        jnp.zeros(shape, values.dtype)
+        .at[leaf_of, slot_of]
+        .set(values, mode="drop")
+    )
+
+
 def _quantize_rows(
     embs: np.ndarray,
     anisotropic_threshold: Optional[float],
@@ -326,6 +584,13 @@ class ScaNN(factorized_top_k.TopK):
         materializes `[q, probes, capacity, dim]`, so large query batches
         are processed in chunks of this size to bound memory.
       seed: k-means seed.
+      kmeans_sample_size: If set, Lloyd iterations train on this many
+        randomly sampled rows instead of the full corpus (device build
+        only; ScaNN likewise trains its partitioner on a sample).
+      assign_chunk: Corpus rows per assignment block in the device
+        build; bounds the `[chunk, num_leaves]` affinity transient.
+      spill_rounds: Overflow rows may spill to at most this many
+        nearest leaves in the device build's vectorized packing.
     """
 
     def __init__(
@@ -341,6 +606,9 @@ class ScaNN(factorized_top_k.TopK):
         leaf_capacity: Optional[int] = None,
         query_batch: int = 256,
         seed: int = 0,
+        kmeans_sample_size: Optional[int] = None,
+        assign_chunk: int = 16384,
+        spill_rounds: int = 8,
     ) -> None:
         super().__init__(k=k)
         self.query_fn = query_fn
@@ -353,13 +621,38 @@ class ScaNN(factorized_top_k.TopK):
         self._leaf_capacity = leaf_capacity
         self._query_batch = query_batch
         self._seed = seed
+        self._kmeans_sample = kmeans_sample_size
+        self._assign_chunk = assign_chunk
+        self._spill_rounds = spill_rounds
         self._built = False
+
+    def _capacity(self, num_leaves: int, n: int) -> int:
+        if self._leaf_capacity is not None:
+            # Leaf blocks feed the Pallas scorer; keep them on the
+            # 128-row tiling grid.
+            if num_leaves * self._leaf_capacity < n:
+                raise ValueError(
+                    f"num_leaves ({num_leaves}) × leaf_capacity "
+                    f"({self._leaf_capacity}) = "
+                    f"{num_leaves * self._leaf_capacity} cannot hold "
+                    f"the {n}-row corpus."
+                )
+            return _round_up(self._leaf_capacity, 128)
+        return _round_up(
+            max(1, int(np.ceil(1.3 * n / num_leaves))), 128
+        )
 
     def index(
         self,
         candidates: Array,
         identifiers: Optional[Array] = None,
     ) -> "ScaNN":
+        """Builds the index. A `jax.Array` corpus is built fully on
+        device (k-means, packing, and quantization never leave HBM —
+        one corpus upload total, the scaling requirement for 10M+ rows
+        behind a host link); NumPy input uses the host build path."""
+        if isinstance(candidates, jax.Array):
+            return self._index_device(candidates, identifiers)
         candidates = np.asarray(candidates, np.float32)
         n = candidates.shape[0]
         if identifiers is None:
@@ -374,21 +667,7 @@ class ScaNN(factorized_top_k.TopK):
                 )
 
         num_leaves = min(self._num_leaves, n)
-        if self._leaf_capacity is not None:
-            # Leaf blocks feed the Pallas scorer; keep them on the
-            # 128-row tiling grid.
-            capacity = _round_up(self._leaf_capacity, 128)
-            if num_leaves * self._leaf_capacity < n:
-                raise ValueError(
-                    f"num_leaves ({num_leaves}) × leaf_capacity "
-                    f"({self._leaf_capacity}) = "
-                    f"{num_leaves * self._leaf_capacity} cannot hold "
-                    f"the {n}-row corpus."
-                )
-        else:
-            capacity = _round_up(
-                max(1, int(np.ceil(1.3 * n / num_leaves))), 128
-            )
+        capacity = self._capacity(num_leaves, n)
 
         centroids = kmeans(
             candidates, num_leaves, self._iterations, self._seed
@@ -417,6 +696,84 @@ class ScaNN(factorized_top_k.TopK):
         self._identifiers = (
             jnp.asarray(identifiers) if self._reorder_n else None
         )
+        self._num_candidates = n
+        self._built = True
+        return self
+
+    def _index_device(
+        self,
+        candidates: Array,
+        identifiers: Optional[Array] = None,
+    ) -> "ScaNN":
+        """Device-resident build: every stage (Lloyd iterations, top-R
+        assignment, capacity packing, int8 quantization) runs as jitted
+        device code over the in-HBM corpus; only a single scalar
+        (the unplaced-row count) returns to the host."""
+        candidates = candidates.astype(jnp.float32)
+        n = candidates.shape[0]
+        if identifiers is None:
+            identifiers = jnp.arange(n, dtype=jnp.int32)
+        else:
+            identifiers = jnp.asarray(identifiers)
+            if identifiers.shape[0] != n:
+                raise ValueError(
+                    "The candidates and identifiers tensors must have the "
+                    f"same number of rows (got {n} and "
+                    f"{identifiers.shape[0]})."
+                )
+
+        num_leaves = min(self._num_leaves, n)
+        capacity = self._capacity(num_leaves, n)
+
+        centroids = kmeans_device(
+            candidates, num_leaves, self._iterations, self._seed,
+            chunk=self._assign_chunk, sample=self._kmeans_sample,
+        )
+        rounds = min(self._spill_rounds, num_leaves)
+        choices = _topr_assign_device(
+            candidates, centroids, rounds, self._assign_chunk
+        )
+        leaf_of, slot_of, unplaced = _pack_assign_device(
+            choices, num_leaves, capacity
+        )
+        if int(unplaced) > 0:
+            raise ValueError(
+                f"{int(unplaced)} rows could not be placed within their "
+                f"{rounds} nearest leaves; increase `leaf_capacity`, "
+                "`num_leaves`, or `spill_rounds`."
+            )
+
+        self._centroids = centroids
+        self._leaf_ids = _scatter_leaves(
+            identifiers, leaf_of, slot_of, num_leaves, capacity
+        )
+        self._leaf_rows = _scatter_leaves(
+            jnp.arange(n, dtype=jnp.int32), leaf_of, slot_of,
+            num_leaves, capacity,
+        )
+        self._leaf_valid = _scatter_leaves(
+            jnp.ones((n,), bool), leaf_of, slot_of, num_leaves, capacity
+        )
+        if self._quantize:
+            # Per-row quantization is leaf-independent: quantize the
+            # flat corpus, then scatter int8 codes — the [L, cap, D]
+            # float intermediate never exists.
+            scales, codes = _quantize_rows_device(
+                candidates, self._anisotropic_threshold
+            )
+            self._leaf_embs = _scatter_leaves(
+                codes, leaf_of, slot_of, num_leaves, capacity
+            )
+            self._leaf_scales = _scatter_leaves(
+                scales, leaf_of, slot_of, num_leaves, capacity
+            )
+        else:
+            self._leaf_embs = _scatter_leaves(
+                candidates, leaf_of, slot_of, num_leaves, capacity
+            )
+            self._leaf_scales = None
+        self._corpus = candidates if self._reorder_n else None
+        self._identifiers = identifiers if self._reorder_n else None
         self._num_candidates = n
         self._built = True
         return self

@@ -172,3 +172,147 @@ def test_query_chunking_matches_unchunked():
     np.testing.assert_allclose(
         np.asarray(cs), np.asarray(ws), rtol=1e-5, atol=1e-5
     )
+
+
+def test_pack_assign_device_places_all_rows_uniquely():
+    rng = np.random.RandomState(7)
+    corpus = rng.normal(size=(3000, 16)).astype(np.float32)
+    centroids = approximate.kmeans(corpus, 24, iterations=4)
+    choices = approximate._topr_assign_device(
+        jnp.asarray(corpus), jnp.asarray(centroids), 8, 1024
+    )
+    capacity = approximate._round_up(int(np.ceil(1.3 * 3000 / 24)), 128)
+    leaf_of, slot_of, unplaced = approximate._pack_assign_device(
+        np.asarray(choices), 24, capacity
+    )
+    leaf_of, slot_of = np.asarray(leaf_of), np.asarray(slot_of)
+    assert int(unplaced) == 0
+    assert (leaf_of < 24).all() and (slot_of < capacity).all()
+    # Every row landed in a distinct (leaf, slot) cell.
+    cells = leaf_of.astype(np.int64) * capacity + slot_of
+    assert len(np.unique(cells)) == 3000
+    # Rows were placed in one of their R candidate leaves.
+    assert (leaf_of[:, None] == np.asarray(choices)).any(axis=1).all()
+
+
+def test_pack_assign_device_spills_on_tight_capacity():
+    # 256 rows, 2 leaves, capacity 128: a skewed assignment must spill
+    # overflow to the other leaf, filling both exactly.
+    rng = np.random.RandomState(1)
+    corpus = np.concatenate(
+        [
+            rng.normal(loc=5.0, size=(200, 8)),
+            rng.normal(loc=-5.0, size=(56, 8)),
+        ]
+    ).astype(np.float32)
+    centroids = np.stack(
+        [corpus[:200].mean(0), corpus[200:].mean(0)]
+    ).astype(np.float32)
+    choices = approximate._topr_assign_device(
+        jnp.asarray(corpus), jnp.asarray(centroids), 2, 1024
+    )
+    leaf_of, slot_of, unplaced = approximate._pack_assign_device(
+        np.asarray(choices), 2, 128
+    )
+    assert int(unplaced) == 0
+    counts = np.bincount(np.asarray(leaf_of), minlength=2)
+    assert counts.tolist() == [128, 128]
+
+
+def test_quantize_rows_device_matches_host():
+    rng = np.random.RandomState(3)
+    v = rng.normal(size=(64, 32)).astype(np.float32)
+    for thresh in (None, 0.2):
+        hs, hq = approximate._quantize_rows(v, thresh)
+        ds, dq = approximate._quantize_rows_device(jnp.asarray(v), thresh)
+        np.testing.assert_allclose(
+            np.asarray(ds), hs, rtol=1e-5, atol=1e-7
+        )
+        # Compare dequantized values (rounding ties may flip a code by
+        # one count between numpy and XLA float paths).
+        np.testing.assert_allclose(
+            np.asarray(dq) * np.asarray(ds)[:, None],
+            hq * hs[:, None],
+            atol=float(np.max(hs)) * 1.01,
+        )
+
+
+def test_device_build_recall_matches_host_build():
+    rng = np.random.RandomState(5)
+    centers = rng.normal(scale=4.0, size=(32, 32)).astype(np.float32)
+    corpus = (
+        centers[rng.randint(0, 32, 4000)]
+        + rng.normal(size=(4000, 32)).astype(np.float32)
+    )
+    queries = (
+        centers[rng.randint(0, 32, 64)]
+        + rng.normal(size=(64, 32)).astype(np.float32)
+    )
+    k = 10
+    _, exact_ids = scoring.exact_top_k(
+        jnp.asarray(queries), jnp.asarray(corpus), k
+    )
+
+    def recall(index):
+        _, ids = index(jnp.asarray(queries))
+        return np.mean(
+            [
+                len(np.intersect1d(
+                    np.asarray(exact_ids)[i], np.asarray(ids)[i]
+                )) / k
+                for i in range(queries.shape[0])
+            ]
+        )
+
+    kwargs = dict(
+        k=k, num_leaves=64, num_leaves_to_search=8,
+        training_iterations=5, quantize=True, seed=2,
+    )
+    host = approximate.ScaNN(**kwargs).index(corpus)  # numpy → host path
+    dev = approximate.ScaNN(**kwargs).index(jnp.asarray(corpus))
+    r_host, r_dev = recall(host), recall(dev)
+    assert r_dev > 0.8, r_dev
+    assert abs(r_dev - r_host) < 0.1, (r_host, r_dev)
+
+
+def test_device_build_with_kmeans_sample():
+    queries, corpus = _data(2000, 32, 16, seed=9)
+    index = approximate.ScaNN(
+        k=10, num_leaves=16, num_leaves_to_search=16,
+        kmeans_sample_size=500,
+    ).index(jnp.asarray(corpus))
+    # Probing every leaf must be exact regardless of centroid quality.
+    _, ids = index(jnp.asarray(queries))
+    ref_ids = np.argsort(-(queries @ corpus.T), axis=1)[:, :10]
+    np.testing.assert_array_equal(np.asarray(ids), ref_ids)
+
+
+def test_pack_assign_device_fallback_fills_global_capacity():
+    # All rows nearest to leaf 0, capacity forces distribution across
+    # every leaf: the fallback round must still place all rows.
+    rng = np.random.RandomState(11)
+    corpus = rng.normal(loc=3.0, scale=0.1, size=(512, 8)).astype(
+        np.float32
+    )
+    centroids = np.concatenate(
+        [corpus[:1], rng.normal(size=(7, 8))]
+    ).astype(np.float32)
+    choices = approximate._topr_assign_device(
+        jnp.asarray(corpus), jnp.asarray(centroids), 2, 1024
+    )
+    leaf_of, slot_of, unplaced = approximate._pack_assign_device(
+        np.asarray(choices), 8, 64
+    )
+    assert int(unplaced) == 0
+    counts = np.bincount(np.asarray(leaf_of), minlength=8)
+    assert counts.sum() == 512 and counts.max() <= 64
+    cells = np.asarray(leaf_of).astype(np.int64) * 64 + np.asarray(
+        slot_of
+    )
+    assert len(np.unique(cells)) == 512
+
+
+def test_pack_assign_device_reports_true_shortage():
+    choices = jnp.zeros((100, 1), jnp.int32)
+    _, _, unplaced = approximate._pack_assign_device(choices, 1, 64)
+    assert int(unplaced) == 36
