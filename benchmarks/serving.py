@@ -24,6 +24,86 @@ sys.path.insert(
 )
 
 
+def native_main(args):
+    """Serve through the C++ PJRT host (`native/pjrt_host`) on the chip.
+
+    The TF-Serving analog end-to-end: build + export the index from a
+    CPU-only process (the tunneled chip is single-claimant, so this
+    process must never initialize the TPU backend), then the standalone
+    C++ binary claims the chip, compiles the exported StableHLO, and
+    serves `--repeat` timed query batches. Parity is checked against the
+    CPU query path (soft tolerances: CPU and MXU matmuls round
+    differently, so tie order at the top-k boundary may differ).
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from recommenders_tpu.layers import factorized_top_k
+    from recommenders_tpu.utils import export as export_lib
+    from recommenders_tpu.utils import native_serving as ns
+
+    if not ns.axon_available():
+        print(
+            json.dumps({"error": "axon plugin or pjrt_host missing"})
+        )
+        return
+
+    seed = args.seed if args.seed is not None else int(time.time()) % 2**31
+    rng = np.random.RandomState(seed)
+    corpus = rng.normal(size=(args.corpus, args.dim)).astype(np.float32)
+    queries = rng.normal(size=(args.queries, args.dim)).astype(np.float32)
+
+    index = factorized_top_k.BruteForce(k=args.k).index(jnp.asarray(corpus))
+    expected_scores, expected_ids = index(jnp.asarray(queries))
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as work:
+        export_dir = os.path.join(work, "bf")
+        export_lib.export_index(
+            export_dir, index, jnp.asarray(queries), k=args.k
+        )
+        t0 = time.time()
+        res = ns.serve_exported_index(
+            export_dir, queries, repeat=args.iters, timeout=1200.0
+        )
+        wall = time.time() - t0
+
+    scores, ids = res.outputs
+    overlap = float(
+        np.mean(
+            [
+                len(np.intersect1d(np.asarray(expected_ids)[i], ids[i]))
+                / args.k
+                for i in range(args.queries)
+            ]
+        )
+    )
+    np.testing.assert_allclose(
+        np.sort(scores, axis=1),
+        np.sort(np.asarray(expected_scores), axis=1),
+        rtol=2e-2,
+        atol=1e-2,
+    )
+    stats = res.repeat_stats or {}
+    out = {
+        "config": f"native_bruteforce_{args.corpus}x{args.dim}",
+        # The tunneled runtime caches repeated (program, input) pairs,
+        # so same-input repeat timing is NOT a throughput number — the
+        # in-process mode (no --native) measures qps with rotated query
+        # batches. The native mode's deliverables are the round-trip
+        # itself: compile + execute + bit-level parity.
+        "cached_repeat_ms": stats.get("median_ms"),
+        "compile_ms": res.compile_ms,
+        "parity_overlap": round(overlap, 4),
+        "wall_s": round(wall, 1),
+    }
+    json.dump(out, sys.stdout)
+    print()
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--corpus", type=int, default=1_000_000)
@@ -31,6 +111,12 @@ def main():
     parser.add_argument("--queries", type=int, default=1024)
     parser.add_argument("--k", type=int, default=100)
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument(
+        "--native",
+        action="store_true",
+        help="Serve through the C++ PJRT host binary instead of in-process "
+        "JAX (builds/export on CPU; the host claims the chip).",
+    )
     parser.add_argument(
         "--seed",
         type=int,
@@ -40,6 +126,9 @@ def main():
         "report impossibly high qps on re-runs.",
     )
     args = parser.parse_args()
+
+    if args.native:
+        return native_main(args)
 
     import jax
     import jax.numpy as jnp

@@ -279,6 +279,20 @@ void AwaitAndDestroyEvent(const PJRT_Api* api, PJRT_Event* event) {
   api->PJRT_Event_Destroy(&destroy);
 }
 
+// Blocks until a buffer's definition event completes. Execution through
+// a remote/tunneled plugin can report `device_complete_events` as
+// immediately ready (the enqueue, not the compute), so timing or
+// reading outputs must synchronize on the buffers themselves.
+void AwaitBufferReady(const PJRT_Api* api, PJRT_Buffer* buf) {
+  if (buf == nullptr) return;
+  PJRT_Buffer_ReadyEvent_Args args;
+  std::memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Buffer_ReadyEvent_Args_STRUCT_SIZE;
+  args.buffer = buf;
+  if (api->PJRT_Buffer_ReadyEvent(&args) != nullptr) return;
+  AwaitAndDestroyEvent(api, args.event);
+}
+
 void DestroyBuffer(const PJRT_Api* api, PJRT_Buffer* buf) {
   if (buf == nullptr) return;
   PJRT_Buffer_Destroy_Args args;
@@ -422,6 +436,13 @@ int Run(const PJRT_Api* api, const Options& opts, const char* module_path,
     auto t0 = std::chrono::steady_clock::now();
     CHECK_NULL(api->PJRT_LoadedExecutable_Execute(&exec), api, "Execute");
     AwaitAndDestroyEvent(api, done);
+    // device_complete_events can be trivially ready on remote plugins
+    // (it signals the enqueue); block on the output buffers for honest
+    // per-iteration timing and safe reuse.
+    for (PJRT_Buffer* buf : out_slots) {
+      if (buf == nullptr) break;
+      AwaitBufferReady(api, buf);
+    }
     iter_ms.push_back(std::chrono::duration<double, std::milli>(
                           std::chrono::steady_clock::now() - t0)
                           .count());
@@ -460,10 +481,31 @@ int Run(const PJRT_Api* api, const Options& opts, const char* module_path,
     for (size_t i = 0; i < dim_args.num_dims; ++i) n *= dim_args.dims[i];
     std::vector<uint8_t> host(n * ElementSize(dtype));
 
+    // Request a dense row-major host layout explicitly: on-device
+    // buffers may live in a padded/tiled layout (TPU (8, 128) tiles),
+    // and without host_layout some plugins dump the physical layout —
+    // correct at small shapes that happen to be dense, silently
+    // interleaved at larger ones. Expressed as an untiled
+    // minor-to-major (row-major: last logical dim most minor), the
+    // form jaxlib's ToLiteral path passes.
+    std::vector<int64_t> minor_to_major(dim_args.num_dims);
+    for (size_t i = 0; i < dim_args.num_dims; ++i) {
+      minor_to_major[i] = static_cast<int64_t>(dim_args.num_dims - 1 - i);
+    }
+    PJRT_Buffer_MemoryLayout host_layout;
+    std::memset(&host_layout, 0, sizeof(host_layout));
+    host_layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+    host_layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+    host_layout.tiled.struct_size =
+        PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+    host_layout.tiled.minor_to_major = minor_to_major.data();
+    host_layout.tiled.minor_to_major_size = minor_to_major.size();
+
     PJRT_Buffer_ToHostBuffer_Args d2h;
     std::memset(&d2h, 0, sizeof(d2h));
     d2h.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
     d2h.src = buf;
+    d2h.host_layout = &host_layout;
     d2h.dst = host.data();
     d2h.dst_size = host.size();
     CHECK_NULL(api->PJRT_Buffer_ToHostBuffer(&d2h), api, "ToHostBuffer");

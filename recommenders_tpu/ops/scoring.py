@@ -100,6 +100,47 @@ def _bucket_kernel(
         ids_ref[:] = run_ids[:]
 
 
+def _bucket_kernel_quantized(
+    q_ref, c_ref, s_ref, vals_ref, ids_ref, run_vals, run_ids,
+    *, chunk: int, buckets: int, num_chunks: int, valid_rows: int,
+):
+    """Quantized variant: int8 corpus rows, per-row f32 scales.
+
+    For per-row scale `s_c`, `q·(s_c·v_c) = s_c·(q·v_c)` — the int8
+    rows convert once in VMEM, feed the MXU, and the scale folds in as
+    one multiply per output element. HBM corpus traffic is 4× less
+    than f32 (1.28 GB per 10M×128 sweep)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        run_vals[:] = jnp.full_like(run_vals, MIN_FLOAT)
+        run_ids[:] = jnp.zeros_like(run_ids)
+
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * s_ref[:]  # [TQ, C] * [1, C] broadcast.
+    tq = scores.shape[0]
+    base = j * chunk
+    col_ids = base + jax.lax.broadcasted_iota(jnp.int32, (tq, chunk), 1)
+    scores = jnp.where(col_ids < valid_rows, scores, MIN_FLOAT)
+
+    for g in range(chunk // buckets):
+        sub = scores[:, g * buckets:(g + 1) * buckets]
+        sub_ids = col_ids[:, g * buckets:(g + 1) * buckets]
+        upd = sub > run_vals[:]
+        run_vals[:] = jnp.where(upd, sub, run_vals[:])
+        run_ids[:] = jnp.where(upd, sub_ids, run_ids[:])
+
+    @pl.when(j == num_chunks - 1)
+    def _():
+        vals_ref[:] = run_vals[:]
+        ids_ref[:] = run_ids[:]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -109,6 +150,7 @@ def _bucket_kernel(
 def bucketed_scores(
     queries: Array,
     candidates: Array,
+    scales: Optional[Array] = None,
     buckets: int = 2048,
     chunk: int = 2048,
     query_tile: int = 256,
@@ -143,22 +185,35 @@ def bucketed_scores(
     num_chunks = n // chunk
     grid = (qn // tq, num_chunks)
 
+    quantized = scales is not None
     kernel = functools.partial(
-        _bucket_kernel,
+        _bucket_kernel_quantized if quantized else _bucket_kernel,
         chunk=chunk,
         buckets=buckets,
         num_chunks=num_chunks,
         valid_rows=valid_rows,
     )
+    in_specs = [
+        pl.BlockSpec((tq, d), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, d), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [queries, candidates]
+    if quantized:
+        if scales.shape[0] != n:
+            raise ValueError(
+                f"scales rows {scales.shape[0]} != corpus rows {n}"
+            )
+        in_specs.append(
+            pl.BlockSpec((1, chunk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(scales.astype(jnp.float32)[None, :])
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tq, d), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, d), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((tq, buckets), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -181,7 +236,7 @@ def bucketed_scores(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, candidates)
+    )(*inputs)
 
 
 def bucketed_top_k(
@@ -192,14 +247,20 @@ def bucketed_top_k(
     chunk: int = 2048,
     query_tile: int = 256,
     interpret: bool = False,
+    scales: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Approximate top-k with exact scores via the bucketed Pallas sweep.
 
     Returns `([Q, k] scores, [Q, k] candidate-row ids)`, descending.
-    Recall is controlled by `buckets` (see module docstring).
+    Recall is controlled by `buckets` (see module docstring). With
+    `scales`, `candidates` holds int8 per-row codes dequantized
+    in-kernel (`s_c·(q·v_c)`) — 4× less HBM sweep traffic.
     """
     valid_rows = candidates.shape[0]
     padded = pad_to_multiple(candidates, chunk)
+    if scales is not None:
+        n = scales.shape[0]
+        scales = jnp.pad(scales, (0, padded.shape[0] - n))
     qn = queries.shape[0]
     tq = min(query_tile, _round_up(qn, 8))
     padded_q = _round_up(qn, tq)
@@ -208,6 +269,7 @@ def bucketed_top_k(
     vals, ids = bucketed_scores(
         queries,
         padded,
+        scales,
         buckets=buckets,
         chunk=chunk,
         query_tile=tq,
@@ -221,12 +283,22 @@ def bucketed_top_k(
 
 
 def bucketed_top_k_reference(
-    queries: Array, candidates: Array, k: int, buckets: int = 2048
+    queries: Array,
+    candidates: Array,
+    k: int,
+    buckets: int = 2048,
+    scales: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Pure-jnp oracle with identical bucket semantics (runs anywhere)."""
     n = candidates.shape[0]
     padded_n = _round_up(n, buckets)
-    scores = (queries @ candidates.T).astype(jnp.float32)
+    if scales is not None:
+        # int8 codes: dequantize via f32 matmul + per-row scale.
+        scores = (
+            queries.astype(jnp.float32) @ candidates.T.astype(jnp.float32)
+        ) * scales[None, :].astype(jnp.float32)
+    else:
+        scores = (queries @ candidates.T).astype(jnp.float32)
     scores = jnp.pad(
         scores, ((0, 0), (0, padded_n - n)), constant_values=MIN_FLOAT
     )

@@ -141,6 +141,30 @@ def ndcg_lambda_weights(
     return gain_diff * disc_diff * inv_max[:, None, None]
 
 
+def dcg_lambda_weights(
+    labels: Array,
+    scores: Array,
+    mask: Optional[Array] = None,
+) -> Array:
+    """Unnormalized `|ΔDCG|` pair weights.
+
+    tensorflow-ranking's `DCGLambdaWeight` (the `NDCGLambdaWeight`
+    math without the 1/maxDCG normalization): pairs are weighted by
+    the raw DCG change of swapping them, so lists with larger ideal
+    DCG contribute proportionally more to the batch loss.
+    """
+    labels, scores, mask = _prep(labels, scores, mask)
+    ndcg = ndcg_lambda_weights(labels, scores, mask)
+    gains = jnp.where(mask, jnp.power(2.0, labels) - 1.0, 0.0)
+    positions = jnp.arange(1, labels.shape[1] + 1, dtype=jnp.float32)
+    max_dcg = jnp.sum(
+        jnp.sort(gains, axis=1)[:, ::-1]
+        / jnp.log2(1.0 + positions)[None],
+        axis=1,
+    )
+    return ndcg * max_dcg[:, None, None]
+
+
 def lambdarank(
     labels: Array,
     scores: Array,

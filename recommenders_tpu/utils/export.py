@@ -109,12 +109,23 @@ def export_index(
         extra = (valid,)
     else:
         valid = None
+        scales = getattr(index, "_scales", None)
+        if scales is not None:  # Quantized Bucketed: int8 codes + scales.
 
-        def query(queries, candidates, identifiers):
-            scores, rows = _query_for(index)(queries, candidates, k)
-            return scores, jax.numpy.take(identifiers, rows)
+            def query(queries, candidates, identifiers, scales):
+                scores, rows = _query_for(index)(
+                    queries, candidates, k, scales
+                )
+                return scores, jax.numpy.take(identifiers, rows)
 
-        extra = ()
+            extra = (np.asarray(scales),)
+        else:
+
+            def query(queries, candidates, identifiers):
+                scores, rows = _query_for(index)(queries, candidates, k)
+                return scores, jax.numpy.take(identifiers, rows)
+
+            extra = ()
 
     candidates = np.asarray(candidates)
     if candidates.dtype.kind == "V":
@@ -129,6 +140,9 @@ def export_index(
     }
     if valid is not None:
         arrays["valid"] = np.asarray(valid)
+    if not isinstance(index, factorized_top_k.BruteForce):
+        if getattr(index, "_scales", None) is not None:
+            arrays["scales"] = np.asarray(index._scales)
     np.savez(os.path.join(path, _DATA_FILE), **arrays)
     export_fn(
         path, query, example_queries, candidates, identifiers, *extra
@@ -153,7 +167,11 @@ def load_index(path: str) -> Callable[[Array], Tuple[Array, Array]]:
         return serve_scann
     candidates = data["candidates"]
     identifiers = data["identifiers"]
-    extra = (data["valid"],) if "valid" in data.files else ()
+    extra = ()
+    if "scales" in data.files:
+        extra += (data["scales"],)
+    if "valid" in data.files:
+        extra += (data["valid"],)
 
     def serve(queries):
         return call(queries, candidates, identifiers, *extra)
@@ -222,7 +240,7 @@ def _query_for(index):
         query_tile = index._query_tile
         corpus_dtype = index._corpus_dtype
 
-        def bucketed(queries, candidates, k):
+        def bucketed(queries, candidates, k, scales=None):
             # Bake the index's full serving config into the export: the
             # VMEM-fit recipe (e.g. B=4096 needs query_tile=128 + bf16
             # corpus) must survive into the serialized kernel, not revert
@@ -235,11 +253,12 @@ def _query_for(index):
                 candidates = candidates.astype(corpus_dtype)
             if jax.default_backend() == "cpu":
                 return scoring.bucketed_top_k_reference(
-                    queries, candidates, k, buckets=buckets
+                    queries, candidates, k, buckets=buckets,
+                    scales=scales,
                 )
             return scoring.bucketed_top_k(
                 queries, candidates, k, buckets=buckets, chunk=chunk,
-                query_tile=query_tile,
+                query_tile=query_tile, scales=scales,
             )
 
         return bucketed

@@ -231,6 +231,8 @@ def serve_exported_index(
         args = [data[n] for n in names]
     else:
         args = [data["candidates"], data["identifiers"]]
+        if "scales" in data.files:  # Quantized Bucketed artifact.
+            args.append(data["scales"])
         if "valid" in data.files:
             args.append(data["valid"])
     module = os.path.join(export_dir, "module.mlir")

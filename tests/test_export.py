@@ -181,3 +181,25 @@ def test_scann_unquantized_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(ids), np.asarray(expected_ids)
     )
+
+
+def test_bucketed_quantized_index_roundtrip(tmp_path):
+    queries, corpus = _data(1024, 128, 8, seed=9)
+    index = factorized_top_k.Bucketed(
+        k=10, buckets=512, chunk=512, quantize=True
+    ).index(corpus)
+    expected_scores, expected_ids = index(queries)
+
+    path = str(tmp_path / "bkq")
+    export_lib.export_index(path, index, queries, k=10)
+    data = np.load(str(tmp_path / "bkq" / "arrays.npz"))
+    assert data["candidates"].dtype == np.int8
+    assert "scales" in data.files
+    served = export_lib.load_index(path)
+    scores, ids = served(queries)
+    np.testing.assert_array_equal(
+        np.asarray(ids), np.asarray(expected_ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(expected_scores), rtol=1e-5
+    )

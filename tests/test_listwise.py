@@ -209,3 +209,24 @@ def test_lambdarank_works_with_ranking_task():
         jnp.asarray([[2.0, 1.0, 0.0]]), jnp.asarray([[0.1, 0.5, -0.2]])
     )
     assert np.isfinite(float(out.loss))
+
+
+def test_dcg_lambda_weights_are_unnormalized_ndcg():
+    rng = np.random.RandomState(12)
+    labels = rng.randint(0, 4, size=(3, 6)).astype(np.float32)
+    scores = rng.normal(size=(3, 6)).astype(np.float32)
+    ndcg_w = listwise.ndcg_lambda_weights(labels, scores)
+    dcg_w = listwise.dcg_lambda_weights(labels, scores)
+    gains = np.power(2.0, labels) - 1.0
+    positions = np.arange(1, 7, dtype=np.float32)
+    max_dcg = np.sum(
+        np.sort(gains, axis=1)[:, ::-1] / np.log2(1.0 + positions),
+        axis=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dcg_w),
+        np.asarray(ndcg_w) * max_dcg[:, None, None],
+        rtol=1e-5,
+    )
+    # Unnormalized weights scale with list gain magnitude.
+    assert np.asarray(dcg_w).max() > 0

@@ -107,3 +107,45 @@ def test_shape_validation():
     bad_q, bad_c = _data(512, 100, 8)
     with pytest.raises(ValueError, match="embedding dim"):
         scoring.bucketed_scores(bad_q, bad_c, buckets=256, chunk=512)
+
+
+def test_quantized_bucketed_kernel_matches_oracle():
+    from recommenders_tpu.ops import quantization
+
+    queries, corpus = _data(1000, 128, 16, seed=6)
+    scales, codes = quantization.quantize_rows_device(corpus, 0.2)
+    k = 10
+    vals, ids = scoring.bucketed_top_k(
+        queries, codes, k, buckets=512, chunk=512, interpret=True,
+        scales=scales,
+    )
+    rvals, rids = scoring.bucketed_top_k_reference(
+        queries, codes, k, buckets=512, scales=scales
+    )
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(rids))
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(rvals), rtol=1e-4, atol=1e-4
+    )
+    # Dequantized scores approximate the exact dot products.
+    exact = np.asarray(queries) @ np.asarray(corpus).T
+    got = np.take_along_axis(exact, np.asarray(ids), axis=1)
+    np.testing.assert_allclose(np.asarray(vals), got, rtol=0.1, atol=0.5)
+
+
+def test_bucketed_layer_quantized_recall():
+    from recommenders_tpu.layers import factorized_top_k as ftk
+
+    queries, corpus = _data(4000, 128, 32, seed=7)
+    exact = np.asarray(queries) @ np.asarray(corpus).T
+    exact_ids = np.argsort(-exact, axis=1)[:, :10]
+    index = ftk.Bucketed(k=10, buckets=1024, quantize=True).index(corpus)
+    _, ids = index(queries)
+    overlap = np.mean(
+        [
+            len(np.intersect1d(exact_ids[i], np.asarray(ids)[i])) / 10
+            for i in range(32)
+        ]
+    )
+    assert overlap > 0.9, overlap
+    with pytest.raises(ValueError, match="corpus_dtype"):
+        ftk.Bucketed(quantize=True, corpus_dtype=jnp.bfloat16)
