@@ -203,10 +203,16 @@ def main():
         bench("bucketed_bf16_4096", lambda q: bk(q, k), n * d * 2)
 
     leaves = max(64, 1 << int(np.log2(np.sqrt(n) * 2)))
-    for probes, reorder in ((leaves // 16, None),
-                            (leaves // 8, None),
-                            (leaves // 8, 4 * k)):
-        name = f"scann_L{leaves}_P{probes}" + (
+    # (probes, reorder, storage): int8 anisotropic vs bf16 leaves, and
+    # f32 vs bf16 reorder corpora — the recall/bandwidth dial.
+    for probes, reorder, storage in (
+        (leaves // 16, None, "int8"),
+        (leaves // 8, None, "int8"),
+        (leaves // 8, None, "bf16"),
+        (leaves // 8, 4 * k, "int8"),
+        (leaves // 8, 4 * k, "int8+bf16reorder"),
+    ):
+        name = f"scann_L{leaves}_P{probes}_{storage}" + (
             f"_R{reorder}" if reorder else ""
         )
         print(f"{name}...", file=sys.stderr)
@@ -215,7 +221,13 @@ def main():
             k=k,
             num_leaves=leaves,
             num_leaves_to_search=probes,
-            quantize=True,
+            quantize=storage.startswith("int8"),
+            leaf_dtype=(
+                jnp.bfloat16 if storage == "bf16" else jnp.float32
+            ),
+            reorder_dtype=(
+                jnp.bfloat16 if "bf16reorder" in storage else jnp.float32
+            ),
             anisotropic_quantization_threshold=0.2,
             num_reordering_candidates=reorder,
             query_batch=qn,
@@ -225,7 +237,8 @@ def main():
         index.index(corpus)  # jax.Array → device-resident build
         build_s = time.time() - t0
         print(f"  built on device in {build_s:.0f}s", file=sys.stderr)
-        bench(name, lambda q: index(q, k), int(n * 1.3) * d,
+        bytes_per_row = d * (2 if storage == "bf16" else 1)
+        bench(name, lambda q: index(q, k), int(n * 1.3) * bytes_per_row,
               build_s=build_s)
         # Release per-config leaf blocks before the next build.
         del index

@@ -91,6 +91,15 @@ class TableConfig:
         embedding default).
       optimizer: Per-table sparse optimizer for the engine's decoupled
         update path; None inherits the collection-level optimizer.
+      max_unique_ids: Optional bound on unique ids updated per step (the
+        TF SparseCore's `max_unique_ids_per_partition` dial). When set,
+        the engine's sparse update compacts deduplicated gradients to
+        this fixed length, so every optimizer gather/scatter works over
+        `max_unique_ids` rows instead of the batch's occurrence count —
+        a large win for heavily duplicated batches. Steps with more
+        unique ids than the bound DROP the excess rows' updates
+        (deterministically, largest ids first); size it for the worst
+        expected step.
     """
 
     vocabulary_size: int
@@ -99,6 +108,7 @@ class TableConfig:
     combiner: str = "mean"
     initializer: Optional[Initializer] = None
     optimizer: Optional[OptimizerSpec] = None
+    max_unique_ids: Optional[int] = None
 
     def __post_init__(self):
         if self.combiner not in VALID_COMBINERS:
@@ -110,6 +120,11 @@ class TableConfig:
             raise ValueError(
                 "vocabulary_size and dim must be positive, got "
                 f"{self.vocabulary_size} and {self.dim}."
+            )
+        if self.max_unique_ids is not None and self.max_unique_ids <= 0:
+            raise ValueError(
+                f"max_unique_ids must be positive, got "
+                f"{self.max_unique_ids}."
             )
 
 

@@ -327,7 +327,8 @@ class EmbeddingEngine:
             ids = jnp.concatenate(ids_list, axis=0)
             grads = jnp.concatenate(per_table_grads[tname], axis=0)
             tables[tname], slots[tname] = sparse_optimizer.apply_sparse(
-                spec, tables[tname], slots[tname], ids, grads, state.step
+                spec, tables[tname], slots[tname], ids, grads, state.step,
+                max_unique=tc.max_unique_ids,
             )
         return EngineState(
             tables=tables, slots=slots, step=state.step + 1

@@ -19,7 +19,7 @@ the update, so decay-style rules (Adam, FTRL) see each row once.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,17 +32,29 @@ Slots = Dict[str, Array]
 PAD_ID = config_lib.PAD_ID
 
 
-def dedupe_sum(ids: Array, grads: Array) -> Tuple[Array, Array]:
+def dedupe_sum(
+    ids: Array, grads: Array, max_unique: Optional[int] = None
+) -> Tuple[Array, Array]:
     """Folds gradients of duplicate ids into one entry each.
 
-    Returns `(ids, grads)` of the same static shapes where each unique id
-    appears exactly once with the summed gradient; the remaining slots are
-    `PAD_ID` with zero gradients. `PAD_ID` entries in the input are
-    preserved as padding.
+    Returns `(ids, grads)` where each unique id appears exactly once with
+    the summed gradient; the remaining slots are `PAD_ID` with zero
+    gradients. `PAD_ID` entries in the input are preserved as padding.
+
+    With `max_unique` set, the output is compacted to that fixed length —
+    the TF SparseCore's `max_unique_ids_per_partition` bound
+    (tpu_embedding_layer.py's mid-level API config): every downstream
+    gather/scatter then works over `max_unique` rows instead of the full
+    occurrence count, which is the win when batches are heavily
+    duplicated (e.g. 8k-row batches touching a few hundred ids). If a
+    step has more unique ids than the bound, the excess rows' updates are
+    DROPPED (deterministically: the largest ids, since slots are
+    id-sorted) — size the bound for the worst expected step.
 
     Args:
       ids: `[n]` int row ids (may contain PAD_ID).
       grads: `[n, dim]` per-occurrence gradients.
+      max_unique: Optional fixed output length (< n to compact).
     """
     n = ids.shape[0]
     order = jnp.argsort(ids)
@@ -50,13 +62,20 @@ def dedupe_sum(ids: Array, grads: Array) -> Tuple[Array, Array]:
     sgrad = grads[order]
     first = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
     segment = jnp.cumsum(first) - 1  # [n] segment index per entry
-    summed = jax.ops.segment_sum(sgrad, segment, num_segments=n)
+    # PAD_ID inputs sort first and form segment 0; shift them out so
+    # real ids start at slot 0 (otherwise padding burns a bounded slot).
+    has_pad = sid[0] == PAD_ID
+    segment = jnp.where(has_pad, segment - 1, segment)
+    m = n if max_unique is None or max_unique >= n else max_unique
+    summed = jax.ops.segment_sum(
+        sgrad, segment, num_segments=m, indices_are_sorted=True
+    )
     # All entries in a segment share the same id.
-    seg_ids = jax.ops.segment_max(sid, segment, num_segments=n)
-    slot_valid = jnp.arange(n) <= segment[-1]
+    seg_ids = jax.ops.segment_max(
+        sid, segment, num_segments=m, indices_are_sorted=True
+    )
+    slot_valid = jnp.arange(m) <= segment[-1]
     out_ids = jnp.where(slot_valid, seg_ids, PAD_ID)
-    # Zero gradients of unused slots and of PAD_ID inputs (which sort
-    # first and form their own segment).
     out_grads = jnp.where((out_ids != PAD_ID)[:, None], summed, 0.0)
     return out_ids, out_grads
 
@@ -117,6 +136,7 @@ def apply_sparse(
     ids: Array,
     grads: Array,
     step: Array,
+    max_unique: Optional[int] = None,
 ) -> Tuple[Array, Slots]:
     """Applies one sparse update. `ids: [n]`, `grads: [n, dim]`.
 
@@ -124,9 +144,10 @@ def apply_sparse(
     update regardless of how many batch elements touched it; all scatters
     then carry `unique_indices=True` (padding slots map to distinct
     out-of-range rows dropped by the scatter), letting XLA parallelize
-    the row updates.
+    the row updates. `max_unique` (TableConfig.max_unique_ids) compacts
+    the deduplicated update to a fixed length — see `dedupe_sum`.
     """
-    ids, grads = dedupe_sum(ids, grads)
+    ids, grads = dedupe_sum(ids, grads, max_unique)
     uids = _unique_ids(ids, table.shape[0])
     # Learning rate at this step (float, or the schedule evaluated on the
     # traced step counter — the reference's dynamic-LR translation,

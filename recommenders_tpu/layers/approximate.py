@@ -12,12 +12,16 @@ rebuilds the same serving capability as device code:
     `num_leaves_to_search` leaves, gather only those leaves' packed rows,
     exact dot scores, top-k — the arithmetic/bandwidth saving is
     `P·cap / N`, the same dial as ScaNN's `leaves_to_search`.
-  - **Quantization** (optional): leaves stored int8 with per-row scales —
-    4× less gather bandwidth, dequantized on the fly into the MXU scoring
-    einsum (the role of ScaNN's asymmetric hashing, `score_ah`).
+  - **Quantization** (optional): leaves stored int8 with per-row scales
+    (4× less scan bandwidth than f32, dequantized on the fly into the MXU
+    scoring dot — the role of ScaNN's asymmetric hashing, `score_ah`) or
+    bf16 (`leaf_dtype`, 2× less bandwidth at near-f32 recall — the finer
+    point on the recall/bandwidth dial when int8 quantization error is
+    the recall bottleneck).
   - **Reordering** (optional): the top `num_reordering_candidates` by
-    quantized score are re-scored exactly from the float corpus and
-    re-top-k'd (ScaNN's `.reorder(n)` pass).
+    quantized score are re-scored exactly from the full-precision corpus
+    and re-top-k'd (ScaNN's `.reorder(n)` pass). `reorder_dtype=bfloat16`
+    halves the reorder gather traffic.
 
 Like the reference's test strategy, configuring `num_leaves=1` (and no
 quantization) makes the index exact for oracle testing
@@ -443,6 +447,13 @@ class ScaNN(factorized_top_k.TopK):
       num_leaves_to_search: Leaves probed per query.
       training_iterations: Lloyd iterations at index build.
       quantize: Store leaves as int8 with per-row scales.
+      leaf_dtype: Storage dtype of unquantized leaves (float32 or
+        bfloat16). bf16 leaves halve the probe-scan HBM traffic with
+        ~3 decimal digits of score precision — between f32 and int8 on
+        the recall/bandwidth trade; mutually exclusive with `quantize`.
+      reorder_dtype: Storage dtype of the exact-reorder corpus (float32
+        or bfloat16). The reorder pass is gather-bound, so bf16 halves
+        its traffic; scores are still accumulated in f32.
       anisotropic_quantization_threshold: ScaNN's score-aware
         quantization dial (`score_ah`'s parameter of the same name):
         per-row scales minimize the anisotropic loss that weights
@@ -474,6 +485,8 @@ class ScaNN(factorized_top_k.TopK):
         num_leaves_to_search: int = 10,
         training_iterations: int = 10,
         quantize: bool = False,
+        leaf_dtype=jnp.float32,
+        reorder_dtype=jnp.float32,
         anisotropic_quantization_threshold: Optional[float] = 0.2,
         num_reordering_candidates: Optional[int] = None,
         leaf_capacity: Optional[int] = None,
@@ -489,6 +502,22 @@ class ScaNN(factorized_top_k.TopK):
         self._num_probes = min(num_leaves_to_search, num_leaves)
         self._iterations = training_iterations
         self._quantize = quantize
+        self._leaf_dtype = jnp.dtype(leaf_dtype)
+        self._reorder_dtype = jnp.dtype(reorder_dtype)
+        if self._leaf_dtype not in (jnp.float32, jnp.bfloat16):
+            raise ValueError(
+                f"leaf_dtype must be float32 or bfloat16, got {leaf_dtype}"
+            )
+        if self._reorder_dtype not in (jnp.float32, jnp.bfloat16):
+            raise ValueError(
+                f"reorder_dtype must be float32 or bfloat16, "
+                f"got {reorder_dtype}"
+            )
+        if quantize and self._leaf_dtype != jnp.float32:
+            raise ValueError(
+                "quantize=True stores int8 leaves; leaf_dtype applies "
+                "only to unquantized indexes."
+            )
         self._anisotropic_threshold = anisotropic_quantization_threshold
         self._reorder_n = num_reordering_candidates
         self._leaf_capacity = leaf_capacity
@@ -560,11 +589,12 @@ class ScaNN(factorized_top_k.TopK):
             self._leaf_embs = jnp.asarray(q)
             self._leaf_scales = jnp.asarray(scales.astype(np.float32))
         else:
-            self._leaf_embs = jnp.asarray(embs)
+            self._leaf_embs = jnp.asarray(embs).astype(self._leaf_dtype)
             self._leaf_scales = None
-        # Float corpus retained for the exact reorder pass.
+        # Full-precision corpus retained for the exact reorder pass.
         self._corpus = (
-            jnp.asarray(candidates) if self._reorder_n else None
+            jnp.asarray(candidates).astype(self._reorder_dtype)
+            if self._reorder_n else None
         )
         self._identifiers = (
             jnp.asarray(identifiers) if self._reorder_n else None
@@ -642,10 +672,14 @@ class ScaNN(factorized_top_k.TopK):
             )
         else:
             self._leaf_embs = _scatter_leaves(
-                candidates, leaf_of, slot_of, num_leaves, capacity
+                candidates.astype(self._leaf_dtype), leaf_of, slot_of,
+                num_leaves, capacity,
             )
             self._leaf_scales = None
-        self._corpus = candidates if self._reorder_n else None
+        self._corpus = (
+            candidates.astype(self._reorder_dtype)
+            if self._reorder_n else None
+        )
         self._identifiers = identifiers if self._reorder_n else None
         self._num_candidates = n
         self._built = True

@@ -30,6 +30,43 @@ _FN_FILE = "computation.stablehlo"
 _MLIR_FILE = "module.mlir"
 _DATA_FILE = "arrays.npz"
 _COMPILE_OPTIONS_FILE = "compile_options.pb"
+_BF16_KEYS = "__bf16_keys__"
+
+
+def _save_arrays(path: str, arrays: dict) -> None:
+    """npz-saves arrays; bf16 (an ml_dtypes extension numpy cannot
+    round-trip — it loads back as raw V2) is stored as a uint16 view
+    plus a key manifest, so serve-time args keep the exported dtype and
+    no full-corpus f32→bf16 cast runs per query batch."""
+    out = {}
+    bf16_keys = []
+    for name, a in arrays.items():
+        a = np.asarray(a)
+        if a.dtype.kind == "V":
+            out[name] = a.view(np.uint16)
+            bf16_keys.append(name)
+        else:
+            out[name] = a
+    out[_BF16_KEYS] = np.asarray(bf16_keys, dtype=np.str_)
+    np.savez(os.path.join(path, _DATA_FILE), **out)
+
+
+def _load_arrays(path: str):
+    """Inverse of `_save_arrays`: restores bf16 views."""
+    import ml_dtypes
+
+    data = np.load(os.path.join(path, _DATA_FILE))
+    bf16 = (
+        set(data[_BF16_KEYS].tolist()) if _BF16_KEYS in data.files
+        else set()
+    )
+    out = {}
+    for name in data.files:
+        if name == _BF16_KEYS:
+            continue
+        a = data[name]
+        out[name] = a.view(ml_dtypes.bfloat16) if name in bf16 else a
+    return out
 
 
 def export_fn(path: str, fn: Callable, *example_args) -> None:
@@ -128,10 +165,6 @@ def export_index(
             extra = ()
 
     candidates = np.asarray(candidates)
-    if candidates.dtype.kind == "V":
-        # npz cannot store ml_dtypes (bf16) arrays; persist as f32 and let
-        # the exported computation re-cast to the index's corpus dtype.
-        candidates = candidates.astype(np.float32)
 
     os.makedirs(path, exist_ok=True)
     arrays = {
@@ -143,7 +176,7 @@ def export_index(
     if not isinstance(index, factorized_top_k.BruteForce):
         if getattr(index, "_scales", None) is not None:
             arrays["scales"] = np.asarray(index._scales)
-    np.savez(os.path.join(path, _DATA_FILE), **arrays)
+    _save_arrays(path, arrays)
     export_fn(
         path, query, example_queries, candidates, identifiers, *extra
     )
@@ -151,14 +184,15 @@ def export_index(
 
 def load_index(path: str) -> Callable[[Array], Tuple[Array, Array]]:
     """Loads an exported index; returns `queries → (scores, ids)`."""
-    data = np.load(os.path.join(path, _DATA_FILE))
+    data = _load_arrays(path)
     call = load_fn(path)
-    if "centroids" in data.files:  # ScaNN artifact.
+    if "centroids" in data:  # ScaNN artifact.
         args = [
             data[name]
             for name in ("centroids", "leaf_embs", "leaf_scales",
-                         "leaf_ids", "leaf_rows", "leaf_valid")
-            if name in data.files
+                         "leaf_ids", "leaf_rows", "leaf_valid",
+                         "corpus", "corpus_identifiers")
+            if name in data
         ]
 
         def serve_scann(queries):
@@ -168,9 +202,9 @@ def load_index(path: str) -> Callable[[Array], Tuple[Array, Array]]:
     candidates = data["candidates"]
     identifiers = data["identifiers"]
     extra = ()
-    if "scales" in data.files:
+    if "scales" in data:
         extra += (data["scales"],)
-    if "valid" in data.files:
+    if "valid" in data:
         extra += (data["valid"],)
 
     def serve(queries):
@@ -180,54 +214,59 @@ def load_index(path: str) -> Callable[[Array], Tuple[Array, Array]]:
 
 
 def _export_scann(path: str, index, example_queries: Array, k: int) -> None:
+    """Full ScaNN serving pipeline in one exported computation: probe →
+    (quantized) leaf scoring → optional exact reorder — the counterpart
+    of the reference serializing the whole C++ searcher into the
+    SavedModel (layers/factorized_top_k.py:728-730)."""
     from recommenders_tpu.layers import approximate
 
     if not index._built:
         raise ValueError("The index must be built (`index(...)`) first.")
     quantized = index._quantize
     num_probes = index._num_probes
+    reorder_n = index._reorder_n
     k = min(k, index._num_candidates)
+    shortlist = max(k, reorder_n) if reorder_n else k
 
+    names = ["centroids", "leaf_embs"]
+    if quantized:
+        names.append("leaf_scales")
+    names += ["leaf_ids", "leaf_rows", "leaf_valid"]
+    if reorder_n:
+        names += ["corpus", "corpus_identifiers"]
     arrays = {
-        "centroids": np.asarray(index._centroids),
-        "leaf_embs": np.asarray(index._leaf_embs),
-        "leaf_ids": np.asarray(index._leaf_ids),
-        "leaf_rows": np.asarray(index._leaf_rows),
-        "leaf_valid": np.asarray(index._leaf_valid),
+        "centroids": index._centroids,
+        "leaf_embs": index._leaf_embs,
+        "leaf_ids": index._leaf_ids,
+        "leaf_rows": index._leaf_rows,
+        "leaf_valid": index._leaf_valid,
     }
     if quantized:
-        arrays["leaf_scales"] = np.asarray(index._leaf_scales)
+        arrays["leaf_scales"] = index._leaf_scales
+    if reorder_n:
+        arrays["corpus"] = index._corpus
+        arrays["corpus_identifiers"] = index._identifiers
+    arrays = {name: np.asarray(arrays[name]) for name in names}
 
-    if quantized:
-
-        def query(queries, centroids, leaf_embs, leaf_scales, leaf_ids,
-                  leaf_rows, leaf_valid):
-            scores, ids, _ = approximate._search(
-                queries, centroids, leaf_embs, leaf_scales, leaf_ids,
-                leaf_rows, leaf_valid, num_probes, k, True,
+    def query(queries, *args):
+        a = dict(zip(names, args))
+        scores, ids, rows = approximate._search(
+            queries, a["centroids"], a["leaf_embs"],
+            a.get("leaf_scales"), a["leaf_ids"], a["leaf_rows"],
+            a["leaf_valid"], num_probes, shortlist, quantized,
+        )
+        if reorder_n:
+            return approximate._reorder(
+                queries, rows, scores, a["corpus"],
+                a["corpus_identifiers"], k,
             )
-            return scores, ids
-
-        args = (arrays["centroids"], arrays["leaf_embs"],
-                arrays["leaf_scales"], arrays["leaf_ids"],
-                arrays["leaf_rows"], arrays["leaf_valid"])
-    else:
-
-        def query(queries, centroids, leaf_embs, leaf_ids, leaf_rows,
-                  leaf_valid):
-            scores, ids, _ = approximate._search(
-                queries, centroids, leaf_embs, None, leaf_ids,
-                leaf_rows, leaf_valid, num_probes, k, False,
-            )
-            return scores, ids
-
-        args = (arrays["centroids"], arrays["leaf_embs"],
-                arrays["leaf_ids"], arrays["leaf_rows"],
-                arrays["leaf_valid"])
+        return scores, ids
 
     os.makedirs(path, exist_ok=True)
-    np.savez(os.path.join(path, _DATA_FILE), **arrays)
-    export_fn(path, query, example_queries, *args)
+    _save_arrays(path, arrays)
+    export_fn(
+        path, query, example_queries, *(arrays[name] for name in names)
+    )
 
 
 def _query_for(index):

@@ -316,3 +316,71 @@ def test_pack_assign_device_reports_true_shortage():
     choices = jnp.zeros((100, 1), jnp.int32)
     _, _, unplaced = approximate._pack_assign_device(choices, 1, 64)
     assert int(unplaced) == 36
+
+
+def test_bf16_leaves_match_f32_recall():
+    """bf16 leaf storage: exact ids when all leaves are probed (ties
+    aside), scores within bf16 precision of the f32 path."""
+    queries, corpus = _data(2000, 64, 32, seed=13)
+    f32 = approximate.ScaNN(
+        k=10, num_leaves=16, num_leaves_to_search=16,
+        training_iterations=3,
+    ).index(jnp.asarray(corpus))
+    bf16 = approximate.ScaNN(
+        k=10, num_leaves=16, num_leaves_to_search=16,
+        training_iterations=3, leaf_dtype=jnp.bfloat16,
+    ).index(jnp.asarray(corpus))
+    assert bf16._leaf_embs.dtype == jnp.bfloat16
+    s32, i32 = f32(jnp.asarray(queries))
+    s16, i16 = bf16(jnp.asarray(queries))
+    # bf16 rounding may flip near-ties; demand near-total agreement.
+    assert np.mean(np.asarray(i16) == np.asarray(i32)) > 0.95
+    np.testing.assert_allclose(
+        np.asarray(s16), np.asarray(s32), rtol=2e-2, atol=5e-2
+    )
+
+
+def test_bf16_reorder_matches_f32_ids():
+    """bf16 reorder corpus: same ids as f32 reorder up to bf16 near-ties,
+    scores within bf16 precision of exact dots."""
+    queries, corpus = _data(3000, 64, 32, seed=14)
+    kwargs = dict(
+        k=10, num_leaves=16, num_leaves_to_search=8, quantize=True,
+        num_reordering_candidates=60, training_iterations=3,
+    )
+    f32 = approximate.ScaNN(**kwargs).index(jnp.asarray(corpus))
+    bf16 = approximate.ScaNN(
+        reorder_dtype=jnp.bfloat16, **kwargs
+    ).index(jnp.asarray(corpus))
+    assert bf16._corpus.dtype == jnp.bfloat16
+    _, i32 = f32(jnp.asarray(queries))
+    s16, i16 = bf16(jnp.asarray(queries))
+    assert np.mean(np.asarray(i16) == np.asarray(i32)) > 0.9
+    full = queries @ corpus.T
+    approx = np.take_along_axis(full, np.asarray(i16), axis=1)
+    np.testing.assert_allclose(
+        np.asarray(s16), approx, rtol=2e-2, atol=8e-2
+    )
+
+
+def test_host_build_honors_leaf_and_reorder_dtypes():
+    queries, corpus = _data(500, 32, 8, seed=15)
+    index = approximate.ScaNN(
+        k=5, num_leaves=4, num_leaves_to_search=4,
+        leaf_dtype=jnp.bfloat16, reorder_dtype=jnp.bfloat16,
+        num_reordering_candidates=20, training_iterations=2,
+    ).index(corpus)  # numpy input → host build path
+    assert index._leaf_embs.dtype == jnp.bfloat16
+    assert index._corpus.dtype == jnp.bfloat16
+    _, ids = index(jnp.asarray(queries))
+    ref_ids = np.argsort(-(queries @ corpus.T), axis=1)[:, :5]
+    assert np.mean(np.asarray(ids) == ref_ids) > 0.9
+
+
+def test_dtype_validation():
+    with pytest.raises(ValueError, match="leaf_dtype"):
+        approximate.ScaNN(leaf_dtype=jnp.int8)
+    with pytest.raises(ValueError, match="reorder_dtype"):
+        approximate.ScaNN(reorder_dtype=jnp.float16)
+    with pytest.raises(ValueError, match="quantize"):
+        approximate.ScaNN(quantize=True, leaf_dtype=jnp.bfloat16)

@@ -338,3 +338,110 @@ class TestSparseOptimizers:
         # Gradient descent direction.
         assert t[0, 0] < 0 and t[0, 1] > 0
         assert np.all(t[1:] == 0)
+
+    def test_dedupe_sum_bounded_matches_unbounded(self):
+        """With the bound >= true unique count, the compacted update is
+        identical (same fold, shorter arrays)."""
+        from recommenders_tpu.embedding import sparse_optimizer as so
+
+        rng = np.random.RandomState(3)
+        ids_np = rng.randint(0, 10, size=64).astype(np.int32)
+        ids_np[rng.choice(64, 8, replace=False)] = PAD
+        grads_np = rng.normal(size=(64, 4)).astype(np.float32)
+        full_i, full_g = so.dedupe_sum(
+            jnp.asarray(ids_np), jnp.asarray(grads_np)
+        )
+        bnd_i, bnd_g = so.dedupe_sum(
+            jnp.asarray(ids_np), jnp.asarray(grads_np), max_unique=16
+        )
+        assert bnd_i.shape == (16,) and bnd_g.shape == (16, 4)
+
+        def as_map(i, g):
+            return {
+                int(a): tuple(np.round(np.asarray(b), 5))
+                for a, b in zip(np.asarray(i), np.asarray(g))
+                if a != PAD
+            }
+
+        assert as_map(full_i, full_g) == as_map(bnd_i, bnd_g)
+
+    def test_dedupe_sum_bounded_drops_excess(self):
+        from recommenders_tpu.embedding import sparse_optimizer as so
+
+        ids = jnp.asarray([1, 2, 3, 4, 5])
+        grads = jnp.ones((5, 2))
+        out_i, out_g = so.dedupe_sum(ids, grads, max_unique=3)
+        assert out_i.shape == (3,)
+        # Deterministic drop: the largest ids fall off.
+        np.testing.assert_array_equal(np.asarray(out_i), [1, 2, 3])
+
+    def test_apply_sparse_bounded_matches_unbounded(self):
+        from recommenders_tpu.embedding import sparse_optimizer as so
+
+        spec = emb_lib.OptimizerSpec(
+            kind="adagrad", learning_rate=0.1,
+            initial_accumulator_value=0.1,
+        )
+        rng = np.random.RandomState(7)
+        table = jnp.asarray(rng.normal(size=(32, 3)).astype(np.float32))
+        slots = so.init_slots(spec, table)
+        ids = jnp.asarray(rng.randint(0, 6, size=128), jnp.int32)
+        grads = jnp.asarray(rng.normal(size=(128, 3)).astype(np.float32))
+        step = jnp.zeros((), jnp.int32)
+        t_full, s_full = so.apply_sparse(
+            spec, table, slots, ids, grads, step
+        )
+        t_bnd, s_bnd = so.apply_sparse(
+            spec, table, slots, ids, grads, step, max_unique=8
+        )
+        np.testing.assert_allclose(
+            np.asarray(t_bnd), np.asarray(t_full), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_bnd["accumulator"]),
+            np.asarray(s_full["accumulator"]),
+            rtol=1e-6,
+        )
+
+    def test_engine_max_unique_ids_bound(self):
+        """Engine threads TableConfig.max_unique_ids through the update;
+        training stays exact when the bound holds every step."""
+        from recommenders_tpu.embedding import engine as engine_lib
+
+        table = emb_lib.TableConfig(
+            vocabulary_size=40, dim=4, name="t", combiner="sum",
+            max_unique_ids=16,
+        )
+        fc = emb_lib.FeatureConfig(name="f", table=table)
+        table_free = emb_lib.TableConfig(
+            vocabulary_size=40, dim=4, name="t", combiner="sum"
+        )
+        fc_free = emb_lib.FeatureConfig(name="f", table=table_free)
+        spec = emb_lib.OptimizerSpec(kind="adagrad", learning_rate=0.1)
+
+        eng = engine_lib.EmbeddingEngine([fc], optimizer=spec)
+        eng_free = engine_lib.EmbeddingEngine([fc_free], optimizer=spec)
+        state = eng.init(jax.random.PRNGKey(0))
+        state_free = eng_free.init(jax.random.PRNGKey(0))
+
+        rng = np.random.RandomState(0)
+        for _ in range(3):
+            # <=8 unique ids per step, heavily duplicated batch of 64.
+            feats = {
+                "f": jnp.asarray(
+                    rng.randint(0, 8, size=(64, 3)), jnp.int32
+                )
+            }
+
+            def loss(acts):
+                return jnp.sum(jnp.square(acts["f"]))
+
+            state, _, _ = eng.grad_and_update(state, feats, loss)
+            state_free, _, _ = eng_free.grad_and_update(
+                state_free, feats, loss
+            )
+        np.testing.assert_allclose(
+            np.asarray(state.tables["t"]),
+            np.asarray(state_free.tables["t"]),
+            rtol=1e-6,
+        )

@@ -203,3 +203,57 @@ def test_bucketed_quantized_index_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(scores), np.asarray(expected_scores), rtol=1e-5
     )
+
+
+def test_scann_reorder_roundtrip(tmp_path):
+    """The exported ScaNN computation carries the exact-reorder pass
+    (the reference serializes the full searcher incl. reordering,
+    layers/factorized_top_k.py:728-730)."""
+    from recommenders_tpu.layers import approximate
+
+    queries, corpus = _data(2000, 64, 8, seed=21)
+    index = approximate.ScaNN(
+        k=10, num_leaves=16, num_leaves_to_search=8, quantize=True,
+        num_reordering_candidates=50,
+    )
+    index.index(corpus)
+    expected_scores, expected_ids = index(queries)
+
+    path = str(tmp_path / "scann_r")
+    export_lib.export_index(path, index, queries, k=10)
+    scores, ids = export_lib.load_index(path)(queries)
+    np.testing.assert_array_equal(
+        np.asarray(ids), np.asarray(expected_ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(expected_scores), rtol=1e-4
+    )
+
+
+def test_scann_bf16_leaves_roundtrip(tmp_path):
+    """bf16 leaf/reorder arrays survive the npz round-trip (stored as
+    uint16 views) and the served computation takes bf16 args directly —
+    no serve-time f32 inflation."""
+    from recommenders_tpu.layers import approximate
+
+    queries, corpus = _data(1500, 64, 8, seed=22)
+    index = approximate.ScaNN(
+        k=10, num_leaves=8, num_leaves_to_search=8,
+        leaf_dtype=jnp.bfloat16, reorder_dtype=jnp.bfloat16,
+        num_reordering_candidates=40,
+    )
+    index.index(corpus)
+    expected_scores, expected_ids = index(queries)
+
+    path = str(tmp_path / "scann_bf16")
+    export_lib.export_index(path, index, queries, k=10)
+    raw = np.load(str(tmp_path / "scann_bf16" / "arrays.npz"))
+    assert raw["leaf_embs"].dtype == np.uint16
+    assert raw["corpus"].dtype == np.uint16
+    scores, ids = export_lib.load_index(path)(queries)
+    np.testing.assert_array_equal(
+        np.asarray(ids), np.asarray(expected_ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(expected_scores), rtol=1e-4
+    )
