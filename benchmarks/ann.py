@@ -203,16 +203,26 @@ def main():
         bench("bucketed_bf16_4096", lambda q: bk(q, k), n * d * 2)
 
     leaves = max(64, 1 << int(np.log2(np.sqrt(n) * 2)))
-    # (probes, reorder, storage): int8 anisotropic vs bf16 leaves, and
-    # f32 vs bf16 reorder corpora — the recall/bandwidth dial.
-    for probes, reorder, storage in (
-        (leaves // 16, None, "int8"),
-        (leaves // 8, None, "int8"),
-        (leaves // 8, None, "bf16"),
-        (leaves // 8, 4 * k, "int8"),
-        (leaves // 8, 4 * k, "int8+bf16reorder"),
+    # (probes, reorder, storage, scoring_buckets, probe_tile):
+    # int8 anisotropic vs bf16 leaves; f32 vs bf16 reorder corpora; the
+    # [Q, P·cap] top-k vs in-kernel bucketed argmax; per-query vs
+    # tile-coherent probing — every dial of the recall/bandwidth trade.
+    for probes, reorder, storage, buckets, tile in (
+        (leaves // 16, None, "int8", None, 1),
+        (leaves // 8, None, "int8", None, 1),
+        (leaves // 8, None, "bf16", None, 1),
+        (leaves // 8, 4 * k, "int8", None, 1),
+        (leaves // 8, 4 * k, "int8+bf16reorder", None, 1),
+        (leaves // 16, None, "int8", 4096, 1),
+        (leaves // 8, None, "int8", 4096, 1),
+        (leaves // 8, None, "int8", 4096, 64),
+        (leaves // 4, None, "int8", 4096, 64),
+        (leaves // 4, None, "int8", 4096, 128),
+        (leaves // 4, 4 * k, "int8+bf16reorder", 4096, 64),
     ):
         name = f"scann_L{leaves}_P{probes}_{storage}" + (
+            f"_B{buckets}" if buckets else ""
+        ) + (f"_T{tile}" if tile > 1 else "") + (
             f"_R{reorder}" if reorder else ""
         )
         print(f"{name}...", file=sys.stderr)
@@ -230,6 +240,8 @@ def main():
             ),
             anisotropic_quantization_threshold=0.2,
             num_reordering_candidates=reorder,
+            scoring_buckets=buckets,
+            probe_tile=tile,
             query_batch=qn,
             kmeans_sample_size=min(n, 1 << 21),
             training_iterations=8,

@@ -153,13 +153,74 @@ def _pack_leaves(
 
     embs = np.zeros((num_leaves, capacity, dim), np.float32)
     ids = np.zeros((num_leaves, capacity), identifiers.dtype)
-    rows = np.zeros((num_leaves, capacity), np.int32)
+    rows = np.full((num_leaves, capacity), -1, np.int32)
     valid = np.zeros((num_leaves, capacity), bool)
     embs[leaf_of, slot_of] = candidates
     ids[leaf_of, slot_of] = identifiers
     rows[leaf_of, slot_of] = np.arange(n, dtype=np.int32)
     valid[leaf_of, slot_of] = True
     return embs, ids, rows, valid
+
+
+@functools.partial(jax.jit, static_argnames=("r", "chunk"))
+def _topr_assign_soar_device(
+    corpus: Array, centroids: Array, soar_lambda: float, r: int, chunk: int
+) -> Array:
+    """Top-`r` secondary leaves per row under the SOAR objective.
+
+    SOAR (Sun et al. 2023, ScaNN's `soar_lambda`): a point's secondary
+    assignment should cover the queries its primary leaf serves WORST —
+    those aligned with the primary residual `r₁ = x − c₁`. Candidate
+    leaves are ranked by the spilling loss
+
+        ‖x − c‖² + λ · (r₁·(x − c))² / ‖r₁‖²
+
+    i.e. ordinary quantization error plus λ times the component of the
+    secondary residual parallel to the primary one; the primary leaf
+    itself is excluded. All terms come from two `[chunk, L]` matmuls
+    (`x·C` and `r₁·C`), so assignment stays MXU-bound and
+    device-resident like `_topr_assign_device`.
+    """
+    n, d = corpus.shape
+    half_norms = 0.5 * jnp.sum(jnp.square(centroids), axis=1)
+
+    def top(block):
+        affinity = block @ centroids.T - half_norms  # [c, L]
+        primary = jnp.argmax(affinity, axis=1)
+        # ‖x−c‖² − ‖x‖² = −2·affinity (row constant dropped: ranking
+        # within a row is unchanged).
+        dist2 = -2.0 * affinity
+        resid = block - centroids[primary]  # r₁ = x − c₁
+        r_norm2 = jnp.maximum(
+            jnp.sum(jnp.square(resid), axis=1, keepdims=True), 1e-12
+        )
+        # r₁·(x−c) = r₁·x − r₁·c
+        r_dot_x = jnp.sum(resid * block, axis=1, keepdims=True)
+        parallel = r_dot_x - resid @ centroids.T  # [c, L]
+        loss = dist2 + soar_lambda * jnp.square(parallel) / r_norm2
+        loss = jnp.where(
+            jax.nn.one_hot(primary, centroids.shape[0], dtype=bool),
+            jnp.inf,
+            loss,
+        )
+        _, idx = jax.lax.top_k(-loss, r)
+        return idx.astype(jnp.int32)
+
+    nfull = n // chunk
+    out = jnp.zeros((n, r), jnp.int32)
+    if nfull:
+        def body(i, out):
+            block = jax.lax.dynamic_slice(
+                corpus, (i * chunk, 0), (chunk, d)
+            )
+            return jax.lax.dynamic_update_slice(
+                out, top(block), (i * chunk, 0)
+            )
+
+        out = jax.lax.fori_loop(0, nfull, body, out)
+    if n % chunk:
+        out = out.at[nfull * chunk:].set(top(corpus[nfull * chunk:]))
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("r", "chunk"))
@@ -335,17 +396,18 @@ _quantize_rows_device = quantization.quantize_rows_device
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_leaves", "capacity")
+    jax.jit, static_argnames=("num_leaves", "capacity", "fill")
 )
 def _scatter_leaves(
     values: Array, leaf_of: Array, slot_of: Array,
-    num_leaves: int, capacity: int,
+    num_leaves: int, capacity: int, fill=0,
 ) -> Array:
     """Scatter per-row values into `[num_leaves, capacity, ...]` blocks;
-    unplaced rows (sentinel leaf == num_leaves) drop out of bounds."""
+    unplaced rows (sentinel leaf == num_leaves) drop out of bounds.
+    Empty slots hold `fill`."""
     shape = (num_leaves, capacity) + values.shape[1:]
     return (
-        jnp.zeros(shape, values.dtype)
+        jnp.full(shape, fill, values.dtype)
         .at[leaf_of, slot_of]
         .set(values, mode="drop")
     )
@@ -357,7 +419,7 @@ _quantize_rows = quantization.quantize_rows
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_probes", "k", "quantized")
+    jax.jit, static_argnames=("num_probes", "k", "quantized", "dedup")
 )
 def _search(
     queries: Array,
@@ -370,9 +432,13 @@ def _search(
     num_probes: int,
     k: int,
     quantized: bool,
+    dedup: bool = False,
 ) -> Tuple[Array, Array, Array]:
     """Probe top leaves, score their rows, top-k. Returns
-    (scores, identifiers, global_rows)."""
+    (scores, identifiers, global_rows). With `dedup` (SOAR indexes pack
+    rows twice), duplicate global rows among the 2k best are removed
+    before the final top-k — each duplicate pair carries identical
+    scores, so one survivor per row is exact."""
     cscores = queries @ centroids.T  # [Q, L]
     _, probes = jax.lax.top_k(cscores, num_probes)  # [Q, P]
 
@@ -401,12 +467,135 @@ def _search(
     ids = leaf_ids[probes].reshape(q, -1)
     rows = leaf_rows[probes].reshape(q, -1)
     k = min(k, scores.shape[1])
-    top_scores, idx = jax.lax.top_k(scores, k)
-    return (
-        top_scores,
-        jnp.take_along_axis(ids, idx, axis=1),
-        jnp.take_along_axis(rows, idx, axis=1),
+    fetch = min(2 * k, scores.shape[1]) if dedup else k
+    top_scores, idx = jax.lax.top_k(scores, fetch)
+    top_ids = jnp.take_along_axis(ids, idx, axis=1)
+    top_rows = jnp.take_along_axis(rows, idx, axis=1)
+    if dedup:
+        top_scores, top_ids, top_rows = _dedup_topk(
+            top_scores, top_ids, top_rows, k
+        )
+    return top_scores, top_ids, top_rows
+
+
+def _dedup_topk(
+    top_scores: Array, top_ids: Array, top_rows: Array, k: int
+) -> Tuple[Array, Array, Array]:
+    """Removes duplicate global rows from a 2k-wide shortlist, re-top-ks
+    to k. A row appears at most twice (primary + SOAR copy), so fetching
+    2k guarantees k unique survivors. Sort by row id, kill the second of
+    each equal-adjacent pair (copies tie exactly — the same stored codes
+    score identically), re-top-k."""
+    q = top_scores.shape[0]
+    order = jnp.argsort(top_rows, axis=1)
+    sr = jnp.take_along_axis(top_rows, order, axis=1)
+    ss = jnp.take_along_axis(top_scores, order, axis=1)
+    si = jnp.take_along_axis(top_ids, order, axis=1)
+    dup_mask = jnp.concatenate(
+        [jnp.zeros((q, 1), bool), sr[:, 1:] == sr[:, :-1]], axis=1
     )
+    ss = jnp.where(dup_mask, MIN_FLOAT, ss)
+    top_scores, idx2 = jax.lax.top_k(ss, k)
+    top_ids = jnp.take_along_axis(si, idx2, axis=1)
+    top_rows = jnp.take_along_axis(sr, idx2, axis=1)
+    return top_scores, top_ids, top_rows
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_probes", "k", "quantized", "dedup", "buckets", "tile"
+    ),
+)
+def _search_bucketed(
+    queries: Array,
+    centroids: Array,
+    leaf_embs: Array,
+    leaf_scales: Optional[Array],
+    leaf_rows: Array,
+    identifiers: Array,
+    num_probes: int,
+    k: int,
+    quantized: bool,
+    dedup: bool,
+    buckets: int,
+    tile: int,
+) -> Tuple[Array, Array, Array]:
+    """Probed search through the bucketed-argmax kernel.
+
+    Two structural differences from `_search`:
+      - Scores fold into `buckets` running-argmax cells INSIDE the
+        kernel, so the host-visible tensors are `[Q, B]` (not
+        `[Q, P·cap]`) and the final `top_k` is over B columns — at 10M
+        rows / P=512 that replaces a [256, 1.7M] top-k plus two
+        same-sized id gathers.
+      - With `tile > 1`, queries are sorted by primary centroid and each
+        tile of `tile` queries shares one probe list (the top-P leaves
+        by the tile's max centroid affinity): a probed leaf streams
+        HBM→VMEM once per TILE instead of once per query, dividing scan
+        traffic by the tile width. Query order is restored on return.
+    """
+    q, d = queries.shape
+    cscores = queries @ centroids.T  # [Q, L]
+    inv = None
+    if tile > 1:
+        # Sort queries by primary centroid so tiles are probe-coherent,
+        # then give every tile member its personal top-⌈P/tile⌉ leaves,
+        # interleaved rank-major (all rank-0 probes first) so truncation
+        # to P stays fair. Sorting each tile's probe list ascending
+        # makes duplicate entries ADJACENT — the Pallas pipeline skips
+        # the HBM→VMEM copy when consecutive grid steps map to the same
+        # block, so coherent tiles pay only for their UNIQUE leaves.
+        primary = jnp.argmax(cscores, axis=1)
+        order = jnp.argsort(primary)
+        queries = queries[order]
+        cscores = cscores[order]
+        tiles = q // tile
+        p_each = num_probes // tile
+        parts = []
+        if p_each:
+            _, per_q = jax.lax.top_k(cscores, p_each)  # [Q, p']
+            parts.append(
+                per_q.reshape(tiles, tile, p_each)
+                .transpose(0, 2, 1)
+                .reshape(tiles, tile * p_each)
+            )
+        rem = num_probes - p_each * tile
+        if rem:
+            # Slots beyond the per-query floor: the tile's consensus
+            # leaves (max affinity over members).
+            tile_aff = jnp.max(cscores.reshape(tiles, tile, -1), axis=1)
+            _, shared = jax.lax.top_k(tile_aff, rem)
+            parts.append(shared)
+        probes = jnp.sort(jnp.concatenate(parts, axis=1), axis=1)
+        inv = jnp.argsort(order)
+    else:
+        _, probes = jax.lax.top_k(cscores, num_probes)  # [Q, P]
+    probes = probes.astype(jnp.int32)
+    scales = leaf_scales if quantized else None
+    if jax.default_backend() != "cpu" and d % 128 == 0:
+        vals, rows = leaf_scoring.probed_bucketed_scores(
+            queries, leaf_embs, scales, leaf_rows, probes, buckets,
+            query_tile=tile,
+        )
+    else:
+        vals, rows = leaf_scoring.probed_bucketed_reference(
+            queries, leaf_embs, scales, leaf_rows, probes, buckets,
+            query_tile=tile,
+        )
+    if inv is not None:
+        vals = vals[inv]
+        rows = rows[inv]
+    k = min(k, buckets)
+    fetch = min(2 * k, buckets) if dedup else k
+    top_scores, idx = jax.lax.top_k(vals, fetch)
+    top_rows = jnp.take_along_axis(rows, idx, axis=1)
+    top_ids = identifiers[jnp.maximum(top_rows, 0)]
+    if dedup:
+        top_scores, top_ids, top_rows = _dedup_topk(
+            top_scores, top_ids, top_rows, k
+        )
+    return top_scores, top_ids, top_rows
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -462,6 +651,32 @@ class ScaNN(factorized_top_k.TopK):
         scaling. Only meaningful with `quantize=True`.
       num_reordering_candidates: If set, shortlist size re-scored exactly
         from the float corpus before the final top-k.
+      soar_lambda: If set, every row is ALSO packed into a secondary
+        leaf chosen by the SOAR spilling objective (Sun et al. 2023;
+        ScaNN's `soar_lambda`, typically 1.0-1.5): secondary
+        quantization error plus λ × its component parallel to the
+        primary residual, covering exactly the queries the primary leaf
+        serves worst. Doubles leaf memory, raises recall at fixed
+        probes; duplicate hits are removed at query time. Device build
+        only (NumPy corpora are moved to device).
+      scoring_buckets: If set, probed leaves are scored through the
+        bucketed-argmax kernel: scores fold into this many running
+        argmax cells in VMEM and only `[Q, scoring_buckets]` leaves the
+        kernel — the final top-k is over buckets, not `P·cap` slots
+        (the `Bucketed` full-scan reduction applied to the probed
+        subset). Use ≥ 40× k (bucket-collision recall loss matches
+        `Bucketed`, e.g. ≈0.99 at 4096 buckets / k=100). Must be a
+        multiple of 128; leaf capacity rounds up to a multiple of it.
+      probe_tile: With `scoring_buckets`, queries are sorted by primary
+        centroid and each tile of `probe_tile` queries shares one probe
+        list (top-P leaves by the tile's max centroid affinity), so a
+        probed leaf streams from HBM once per tile instead of once per
+        query — scan traffic divides by the tile width. Choose the
+        probe count ~2-4× larger than the per-query setting to keep
+        per-query coverage. 1 = exact per-query probing. Note tiles are
+        formed by sorting WITHIN the query batch, so a query's results
+        depend (mildly) on its batchmates; identical batches always
+        return identical results.
       leaf_capacity: Rows per leaf; defaults to `1.3 × N / num_leaves`
         rounded up (spill handles imbalance).
       query_batch: Queries scored per search invocation. The probe gather
@@ -489,6 +704,9 @@ class ScaNN(factorized_top_k.TopK):
         reorder_dtype=jnp.float32,
         anisotropic_quantization_threshold: Optional[float] = 0.2,
         num_reordering_candidates: Optional[int] = None,
+        soar_lambda: Optional[float] = None,
+        scoring_buckets: Optional[int] = None,
+        probe_tile: int = 1,
         leaf_capacity: Optional[int] = None,
         query_batch: int = 256,
         seed: int = 0,
@@ -520,6 +738,25 @@ class ScaNN(factorized_top_k.TopK):
             )
         self._anisotropic_threshold = anisotropic_quantization_threshold
         self._reorder_n = num_reordering_candidates
+        if soar_lambda is not None and soar_lambda < 0:
+            raise ValueError(
+                f"soar_lambda must be >= 0, got {soar_lambda}"
+            )
+        self._soar_lambda = soar_lambda
+        if scoring_buckets is not None and scoring_buckets % 128:
+            raise ValueError(
+                f"scoring_buckets must be a multiple of 128, got "
+                f"{scoring_buckets}"
+            )
+        if probe_tile < 1:
+            raise ValueError(f"probe_tile must be >= 1, got {probe_tile}")
+        if probe_tile > 1 and scoring_buckets is None:
+            raise ValueError(
+                "probe_tile > 1 requires scoring_buckets (tile-coherent "
+                "probing runs through the bucketed kernel)."
+            )
+        self._scoring_buckets = scoring_buckets
+        self._probe_tile = probe_tile
         self._leaf_capacity = leaf_capacity
         self._query_batch = query_batch
         self._seed = seed
@@ -529,19 +766,23 @@ class ScaNN(factorized_top_k.TopK):
         self._built = False
 
     def _capacity(self, num_leaves: int, n: int) -> int:
+        # SOAR packs every row twice (primary + spilled assignment).
+        rows = 2 * n if self._soar_lambda is not None else n
+        # Leaf blocks feed the Pallas scorers; keep them on the 128-row
+        # tiling grid, and on the bucket grid for the bucketed kernel
+        # (which folds capacity in groups of `scoring_buckets`).
+        grain = max(128, self._scoring_buckets or 0)
         if self._leaf_capacity is not None:
-            # Leaf blocks feed the Pallas scorer; keep them on the
-            # 128-row tiling grid.
-            if num_leaves * self._leaf_capacity < n:
+            if num_leaves * self._leaf_capacity < rows:
                 raise ValueError(
                     f"num_leaves ({num_leaves}) × leaf_capacity "
                     f"({self._leaf_capacity}) = "
                     f"{num_leaves * self._leaf_capacity} cannot hold "
-                    f"the {n}-row corpus."
+                    f"the {rows} packed rows."
                 )
-            return _round_up(self._leaf_capacity, 128)
+            return _round_up(self._leaf_capacity, grain)
         return _round_up(
-            max(1, int(np.ceil(1.3 * n / num_leaves))), 128
+            max(1, int(np.ceil(1.3 * rows / num_leaves))), grain
         )
 
     def index(
@@ -555,6 +796,12 @@ class ScaNN(factorized_top_k.TopK):
         behind a host link); NumPy input uses the host build path."""
         if isinstance(candidates, jax.Array):
             return self._index_device(candidates, identifiers)
+        if self._soar_lambda is not None:
+            # SOAR assignment is implemented device-side only.
+            return self._index_device(
+                jnp.asarray(candidates, jnp.float32),
+                None if identifiers is None else jnp.asarray(identifiers),
+            )
         candidates = np.asarray(candidates, np.float32)
         n = candidates.shape[0]
         if identifiers is None:
@@ -599,6 +846,10 @@ class ScaNN(factorized_top_k.TopK):
         self._identifiers = (
             jnp.asarray(identifiers) if self._reorder_n else None
         )
+        self._flat_ids = (
+            jnp.asarray(identifiers)
+            if self._scoring_buckets is not None else None
+        )
         self._num_candidates = n
         self._built = True
         return self
@@ -632,10 +883,26 @@ class ScaNN(factorized_top_k.TopK):
             candidates, num_leaves, self._iterations, self._seed,
             chunk=self._assign_chunk, sample=self._kmeans_sample,
         )
-        rounds = min(self._spill_rounds, num_leaves)
+        soar = self._soar_lambda is not None and num_leaves > 1
+        rounds = min(
+            self._spill_rounds, num_leaves - 1 if soar else num_leaves
+        )
         choices = _topr_assign_device(
             candidates, centroids, rounds, self._assign_chunk
         )
+        if soar:
+            # Each row packs twice: once by nearest-centroid ranking,
+            # once by the SOAR spilling objective (primary excluded).
+            # Duplicated virtual rows [x; x] share the packing pass.
+            soar_choices = _topr_assign_soar_device(
+                candidates, centroids, float(self._soar_lambda),
+                rounds, self._assign_chunk,
+            )
+            choices = jnp.concatenate([choices, soar_choices], axis=0)
+
+        def dup(values: Array) -> Array:
+            return jnp.concatenate([values, values], 0) if soar else values
+
         leaf_of, slot_of, unplaced = _pack_assign_device(
             choices, num_leaves, capacity
         )
@@ -648,14 +915,15 @@ class ScaNN(factorized_top_k.TopK):
 
         self._centroids = centroids
         self._leaf_ids = _scatter_leaves(
-            identifiers, leaf_of, slot_of, num_leaves, capacity
+            dup(identifiers), leaf_of, slot_of, num_leaves, capacity
         )
         self._leaf_rows = _scatter_leaves(
-            jnp.arange(n, dtype=jnp.int32), leaf_of, slot_of,
-            num_leaves, capacity,
+            dup(jnp.arange(n, dtype=jnp.int32)), leaf_of, slot_of,
+            num_leaves, capacity, fill=-1,
         )
         self._leaf_valid = _scatter_leaves(
-            jnp.ones((n,), bool), leaf_of, slot_of, num_leaves, capacity
+            dup(jnp.ones((n,), bool)), leaf_of, slot_of, num_leaves,
+            capacity,
         )
         if self._quantize:
             # Per-row quantization is leaf-independent: quantize the
@@ -665,15 +933,15 @@ class ScaNN(factorized_top_k.TopK):
                 candidates, self._anisotropic_threshold
             )
             self._leaf_embs = _scatter_leaves(
-                codes, leaf_of, slot_of, num_leaves, capacity
+                dup(codes), leaf_of, slot_of, num_leaves, capacity
             )
             self._leaf_scales = _scatter_leaves(
-                scales, leaf_of, slot_of, num_leaves, capacity
+                dup(scales), leaf_of, slot_of, num_leaves, capacity
             )
         else:
             self._leaf_embs = _scatter_leaves(
-                candidates.astype(self._leaf_dtype), leaf_of, slot_of,
-                num_leaves, capacity,
+                dup(candidates.astype(self._leaf_dtype)), leaf_of,
+                slot_of, num_leaves, capacity,
             )
             self._leaf_scales = None
         self._corpus = (
@@ -681,6 +949,9 @@ class ScaNN(factorized_top_k.TopK):
             if self._reorder_n else None
         )
         self._identifiers = identifiers if self._reorder_n else None
+        self._flat_ids = (
+            identifiers if self._scoring_buckets is not None else None
+        )
         self._num_candidates = n
         self._built = True
         return self
@@ -720,22 +991,38 @@ class ScaNN(factorized_top_k.TopK):
     def _query_chunk(
         self, queries: Array, k: int
     ) -> Tuple[Array, Array]:
-        if self._reorder_n:
-            shortlist = max(k, self._reorder_n)
+        dedup = self._soar_lambda is not None
+        shortlist = max(k, self._reorder_n) if self._reorder_n else k
+
+        if self._scoring_buckets is not None:
+            qn = queries.shape[0]
+            tile = self._probe_tile
+            pad = (-qn) % tile
+            if pad:
+                queries_p = jnp.pad(queries, ((0, pad), (0, 0)))
+            else:
+                queries_p = queries
+            scores, ids, rows = _search_bucketed(
+                queries_p, self._centroids, self._leaf_embs,
+                self._leaf_scales, self._leaf_rows, self._flat_ids,
+                self._num_probes, shortlist, self._quantize, dedup,
+                self._scoring_buckets, tile,
+            )
+            if pad:
+                scores, ids, rows = scores[:qn], ids[:qn], rows[:qn]
+        else:
             scores, ids, rows = _search(
                 queries, self._centroids, self._leaf_embs,
                 self._leaf_scales, self._leaf_ids, self._leaf_rows,
                 self._leaf_valid, self._num_probes, shortlist,
-                self._quantize,
+                self._quantize, dedup,
             )
+        if self._reorder_n:
             return _reorder(
                 queries, rows, scores, self._corpus, self._identifiers, k
             )
-        scores, ids, _ = _search(
-            queries, self._centroids, self._leaf_embs, self._leaf_scales,
-            self._leaf_ids, self._leaf_rows, self._leaf_valid,
-            self._num_probes, k, self._quantize,
-        )
+        if scores.shape[1] > k:
+            scores, ids = scores[:, :k], ids[:, :k]
         return scores, ids
 
     def is_exact(self) -> bool:

@@ -1,14 +1,25 @@
-"""Pallas leaf-scoring kernel for the ScaNN-style probed search.
+"""Pallas leaf-scoring kernels for the ScaNN-style probed search.
 
 The naive probed search gathers `leaf_embs[probes]` into a
 `[Q, P, cap, D]` tensor before scoring (17 GB at 1M×128 corpus with the
-module defaults — it cannot run). This kernel scores probed leaves IN
-PLACE: the probe table is scalar-prefetched, each grid step streams one
-(query, probe) pair's leaf block HBM→VMEM (double-buffered by the
-Pallas pipeline) and issues one `[1, D] × [D, cap]` dot, writing only
-the `[Q, P·cap]` score matrix. HBM traffic is exactly the probed bytes —
-`Q·P·cap·D·itemsize` — with int8 leaves 4× less than f32; nothing
-quadratic in `cap` ever exists.
+module defaults — it cannot run). Two kernels score probed leaves IN
+PLACE instead, with the probe table scalar-prefetched and leaf blocks
+streamed HBM→VMEM (double-buffered by the Pallas pipeline):
+
+  - `probed_leaf_scores`: one `[1, D] × [D, cap]` dot per (query,
+    probe), writing the full `[Q, P·cap]` score matrix for the caller's
+    `lax.top_k`. HBM traffic is exactly the probed bytes,
+    `Q·P·cap·D·itemsize`; exact scores for every probed slot.
+  - `probed_bucketed_scores`: same streaming, but scores fold into
+    `B` per-bucket running-argmax cells in VMEM (the `Bucketed`
+    full-scan reduction of `ops/scoring.py` applied to probed leaves),
+    so only `[Q, B]` scores + global row ids leave the kernel and the
+    final top-k is over B columns — at large P this removes a
+    `[Q, P·cap]` top-k and two same-shaped id gathers. Probes are per
+    query-TILE: a sorted, probe-coherent query batch shares each leaf
+    fetch across the whole tile (the pipeline elides the HBM copy when
+    consecutive grid steps revisit the same block), dividing scan
+    traffic by the tile width.
 
 Per-row quantization scales fold in AFTER the dot: for per-row scale
 `s_c`, `q·(s_c·v_c) = s_c·(q·v_c)`, so the integer rows go straight
@@ -16,11 +27,11 @@ into the MXU-feeding convert and one multiply per output element.
 
 The counterpart in the reference stack is ScaNN's C++ asymmetric-hash
 scorer (`tensorflow_recommenders/layers/factorized_top_k.py:688-707` →
-scann `score_ah`); this is its TPU-resident equivalent.
+scann `score_ah`); these are its TPU-resident equivalents.
 
-Requirements: `D % 128 == 0`, `cap % 128 == 0` (lane/sublane tiling);
-callers fall back to `probed_scores_reference` otherwise (CPU always
-uses the reference path).
+Requirements: `D % 128 == 0`, `cap % 128 == 0` (lane/sublane tiling;
+`cap % buckets == 0` for the bucketed kernel); callers fall back to the
+`*_reference` twins otherwise (CPU always uses the reference path).
 """
 
 from __future__ import annotations
@@ -33,7 +44,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from recommenders_tpu.ops import topk as topk_ops
+
 Array = jax.Array
+
+MIN_FLOAT = topk_ops.MIN_FLOAT
 
 _LANES = 128
 
@@ -140,6 +155,245 @@ def probed_leaf_scores(
         interpret=interpret,
     )(probes, *inputs)
     return out.reshape(qn, num_probes * cap)
+
+
+def _fold_buckets(
+    scores, rows, run_vals, run_rows, buckets: int, num_probes: int
+):
+    """Shared body of the bucketed probed kernels: mask invalid slots,
+    fold `[tq, cap]` scores into per-bucket running argmax (bucket =
+    slot % buckets) — the Bucketed full-scan reduction
+    (`ops/scoring._bucket_kernel`) applied to probed leaves."""
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        run_vals[:] = jnp.full_like(run_vals, MIN_FLOAT)
+        run_rows[:] = jnp.full_like(run_rows, -1)
+
+    cap = scores.shape[1]
+    scores = jnp.where(rows >= 0, scores, MIN_FLOAT)
+    # Sublane-broadcast the [1, cap] row ids to [tq, cap] BEFORE any
+    # lane slicing: Mosaic rejects vector.broadcast on a lane-offset
+    # source ("Invalid input layout" at offset 128). A plain
+    # jnp.broadcast_to is canonicalized straight through the slices
+    # below (slice-of-broadcast → broadcast-of-slice), re-creating the
+    # invalid op, so force materialization with the tpu repeat
+    # primitive, which the folder leaves alone.
+    if scores.shape[0] > 1:
+        rows = pltpu.repeat(rows, scores.shape[0], 0)
+    for g in range(cap // buckets):
+        sub = scores[:, g * buckets:(g + 1) * buckets]
+        sub_rows = rows[:, g * buckets:(g + 1) * buckets]
+        upd = sub > run_vals[:]
+        run_vals[:] = jnp.where(upd, sub, run_vals[:])
+        run_rows[:] = jnp.where(upd, sub_rows, run_rows[:])
+
+
+def _kernel_bucketed_f32(
+    probes_ref, q_ref, leaf_ref, rows_ref, out_vals, out_rows,
+    run_vals, run_rows, *, buckets: int, num_probes: int,
+):
+    scores = jax.lax.dot_general(
+        q_ref[0],                           # [tq, D]
+        leaf_ref[0],                        # [cap, D] (f32/bf16)
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                       # [tq, cap]
+    _fold_buckets(
+        scores, rows_ref[0], run_vals, run_rows, buckets, num_probes
+    )
+
+    @pl.when(pl.program_id(1) == num_probes - 1)
+    def _():
+        out_vals[0] = run_vals[:]
+        out_rows[0] = run_rows[:]
+
+
+def _kernel_bucketed_quantized(
+    probes_ref, q_ref, leaf_ref, rows_ref, scale_ref, out_vals, out_rows,
+    run_vals, run_rows, *, buckets: int, num_probes: int,
+):
+    scores = jax.lax.dot_general(
+        q_ref[0],
+        leaf_ref[0].astype(jnp.float32),    # int8 → f32 in VMEM
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale_ref[0]                        # [tq, cap] · [1, cap]
+    _fold_buckets(
+        scores, rows_ref[0], run_vals, run_rows, buckets, num_probes
+    )
+
+    @pl.when(pl.program_id(1) == num_probes - 1)
+    def _():
+        out_vals[0] = run_vals[:]
+        out_rows[0] = run_rows[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("buckets", "query_tile", "interpret")
+)
+def probed_bucketed_scores(
+    queries: Array,
+    leaf_embs: Array,
+    leaf_scales: Optional[Array],
+    leaf_rows: Array,
+    probes: Array,
+    buckets: int,
+    query_tile: int = 8,
+    interpret: bool = False,
+) -> tuple:
+    """Scores probed leaves with in-kernel per-bucket argmax reduction.
+
+    Where `probed_leaf_scores` writes the full `[Q, P·cap]` score matrix
+    (whose `lax.top_k` and `[Q, P·cap]` id gathers dominate at large P),
+    this kernel folds every probed slot into `buckets` running argmax
+    cells — the `Bucketed` full-scan trick — so only `[Q, B]` scores and
+    global row ids leave VMEM and the final top-k is over `B` columns.
+
+    Probes are per query-TILE (`probes: [Q/query_tile, P]`): all
+    `query_tile` queries of a tile share one probe list, so each probed
+    leaf streams HBM→VMEM once per TILE, dividing scan traffic by the
+    tile width. Callers exploit it by sorting queries so tiles are
+    probe-coherent (`layers/approximate.ScaNN(probe_tile=...)`);
+    `query_tile=1` recovers exact per-query probing.
+
+    Args:
+      queries: `[Q, D]` f32, `Q` a multiple of `query_tile`.
+      leaf_embs: `[L, cap, D]` f32/bf16 or int8 (`cap % buckets == 0`).
+      leaf_scales: `[L, cap]` f32 per-row dequant scales, or None.
+      leaf_rows: `[L, cap]` int32 global row per slot, -1 for padding.
+      probes: `[Q // query_tile, P]` int32 leaf ids per tile.
+      buckets: Reduction width `B` (multiple of 128, divides cap).
+      query_tile: Queries per probe tile.
+      interpret: Run interpreted (tests on CPU).
+
+    Returns:
+      `([Q, B] f32 scores, [Q, B] int32 global rows)`; empty buckets
+      carry `MIN_FLOAT` / row -1.
+    """
+    qn, d = queries.shape
+    num_leaves, cap, d2 = leaf_embs.shape
+    assert d == d2, (d, d2)
+    tiles, num_probes = probes.shape
+    tq = query_tile
+    if qn != tiles * tq:
+        raise ValueError(
+            f"queries rows ({qn}) must equal tiles ({tiles}) × "
+            f"query_tile ({tq})."
+        )
+    if d % _LANES or buckets % _LANES or cap % buckets:
+        raise ValueError(
+            f"needs dim % {_LANES} == 0, buckets % {_LANES} == 0 and "
+            f"cap % buckets == 0; got dim={d}, buckets={buckets}, "
+            f"cap={cap}."
+        )
+    grid = (tiles, num_probes)
+
+    quantized = leaf_scales is not None
+    kernel = functools.partial(
+        _kernel_bucketed_quantized if quantized else _kernel_bucketed_f32,
+        buckets=buckets,
+        num_probes=num_probes,
+    )
+    in_specs = [
+        pl.BlockSpec((1, tq, d), lambda i, p, probes_ref: (i, 0, 0)),
+        pl.BlockSpec(
+            (1, cap, d),
+            lambda i, p, probes_ref: (probes_ref[i, p], 0, 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, cap),
+            lambda i, p, probes_ref: (probes_ref[i, p], 0, 0),
+        ),
+    ]
+    inputs = [
+        queries.reshape(tiles, tq, d),
+        leaf_embs,
+        leaf_rows[:, None, :],
+    ]
+    if quantized:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, cap),
+                lambda i, p, probes_ref: (probes_ref[i, p], 0, 0),
+            )
+        )
+        inputs.append(leaf_scales[:, None, :])
+
+    vals, rows = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec(
+                    (1, tq, buckets), lambda i, p, probes_ref: (i, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, tq, buckets), lambda i, p, probes_ref: (i, 0, 0)
+                ),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((tq, buckets), jnp.float32),
+                pltpu.VMEM((tq, buckets), jnp.int32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((tiles, tq, buckets), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, tq, buckets), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tiles * num_probes * tq * cap * d,
+            bytes_accessed=(
+                tiles * num_probes * cap
+                * (d * leaf_embs.dtype.itemsize + 4 + (4 if quantized else 0))
+                + qn * d * 4
+                + 2 * qn * buckets * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(probes, *inputs)
+    return vals.reshape(qn, buckets), rows.reshape(qn, buckets)
+
+
+def probed_bucketed_reference(
+    queries: Array,
+    leaf_embs: Array,
+    leaf_scales: Optional[Array],
+    leaf_rows: Array,
+    probes: Array,
+    buckets: int,
+    query_tile: int = 1,
+) -> tuple:
+    """Pure-jnp oracle for `probed_bucketed_scores` (any backend)."""
+    qn, d = queries.shape
+    tiles, num_probes = probes.shape
+    tq = query_tile
+    cap = leaf_embs.shape[1]
+    embs = leaf_embs[probes]  # [T, P, cap, D]
+    if leaf_scales is not None:
+        embs = embs.astype(jnp.float32) * leaf_scales[probes][..., None]
+    scores = jnp.einsum(
+        "tqd,tpcd->tqpc",
+        queries.reshape(tiles, tq, d),
+        embs,
+        preferred_element_type=jnp.float32,
+    )                                       # [T, tq, P, cap]
+    rows = leaf_rows[probes]                # [T, P, cap]
+    scores = jnp.where(rows[:, None] >= 0, scores, MIN_FLOAT)
+    groups = num_probes * cap // buckets
+    gv = scores.reshape(tiles, tq, groups, buckets)
+    gr = jnp.broadcast_to(
+        rows.reshape(tiles, 1, groups, buckets), gv.shape
+    )
+    best = jnp.argmax(gv, axis=2)
+    vals = jnp.take_along_axis(gv, best[:, :, None], axis=2)[:, :, 0]
+    out_rows = jnp.take_along_axis(gr, best[:, :, None], axis=2)[:, :, 0]
+    out_rows = jnp.where(vals <= MIN_FLOAT, -1, out_rows)
+    return vals.reshape(qn, buckets), out_rows.reshape(qn, buckets)
 
 
 def probed_scores_reference(

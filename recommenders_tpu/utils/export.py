@@ -191,7 +191,7 @@ def load_index(path: str) -> Callable[[Array], Tuple[Array, Array]]:
             data[name]
             for name in ("centroids", "leaf_embs", "leaf_scales",
                          "leaf_ids", "leaf_rows", "leaf_valid",
-                         "corpus", "corpus_identifiers")
+                         "flat_ids", "corpus", "corpus_identifiers")
             if name in data
         ]
 
@@ -225,6 +225,9 @@ def _export_scann(path: str, index, example_queries: Array, k: int) -> None:
     quantized = index._quantize
     num_probes = index._num_probes
     reorder_n = index._reorder_n
+    dedup = index._soar_lambda is not None
+    buckets = index._scoring_buckets
+    tile = index._probe_tile
     k = min(k, index._num_candidates)
     shortlist = max(k, reorder_n) if reorder_n else k
 
@@ -232,6 +235,8 @@ def _export_scann(path: str, index, example_queries: Array, k: int) -> None:
     if quantized:
         names.append("leaf_scales")
     names += ["leaf_ids", "leaf_rows", "leaf_valid"]
+    if buckets is not None:
+        names.append("flat_ids")
     if reorder_n:
         names += ["corpus", "corpus_identifiers"]
     arrays = {
@@ -243,6 +248,8 @@ def _export_scann(path: str, index, example_queries: Array, k: int) -> None:
     }
     if quantized:
         arrays["leaf_scales"] = index._leaf_scales
+    if buckets is not None:
+        arrays["flat_ids"] = index._flat_ids
     if reorder_n:
         arrays["corpus"] = index._corpus
         arrays["corpus_identifiers"] = index._identifiers
@@ -250,17 +257,31 @@ def _export_scann(path: str, index, example_queries: Array, k: int) -> None:
 
     def query(queries, *args):
         a = dict(zip(names, args))
-        scores, ids, rows = approximate._search(
-            queries, a["centroids"], a["leaf_embs"],
-            a.get("leaf_scales"), a["leaf_ids"], a["leaf_rows"],
-            a["leaf_valid"], num_probes, shortlist, quantized,
-        )
+        if buckets is not None:
+            qn = queries.shape[0]
+            pad = (-qn) % tile
+            if pad:
+                queries_p = jax.numpy.pad(queries, ((0, pad), (0, 0)))
+            else:
+                queries_p = queries
+            scores, ids, rows = approximate._search_bucketed(
+                queries_p, a["centroids"], a["leaf_embs"],
+                a.get("leaf_scales"), a["leaf_rows"], a["flat_ids"],
+                num_probes, shortlist, quantized, dedup, buckets, tile,
+            )
+            scores, ids, rows = scores[:qn], ids[:qn], rows[:qn]
+        else:
+            scores, ids, rows = approximate._search(
+                queries, a["centroids"], a["leaf_embs"],
+                a.get("leaf_scales"), a["leaf_ids"], a["leaf_rows"],
+                a["leaf_valid"], num_probes, shortlist, quantized, dedup,
+            )
         if reorder_n:
             return approximate._reorder(
                 queries, rows, scores, a["corpus"],
                 a["corpus_identifiers"], k,
             )
-        return scores, ids
+        return scores[:, :k], ids[:, :k]
 
     os.makedirs(path, exist_ok=True)
     _save_arrays(path, arrays)

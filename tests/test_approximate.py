@@ -384,3 +384,187 @@ def test_dtype_validation():
         approximate.ScaNN(reorder_dtype=jnp.float16)
     with pytest.raises(ValueError, match="quantize"):
         approximate.ScaNN(quantize=True, leaf_dtype=jnp.bfloat16)
+
+
+def _clustered(n, q, d=32, num_centers=64, seed=0):
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(scale=4.0, size=(num_centers, d)).astype(
+        np.float32
+    )
+    corpus = (
+        centers[rng.randint(0, num_centers, n)]
+        + rng.normal(size=(n, d)).astype(np.float32)
+    )
+    queries = (
+        centers[rng.randint(0, num_centers, q)]
+        + rng.normal(size=(q, d)).astype(np.float32)
+    )
+    return queries, corpus
+
+
+def test_soar_improves_recall_at_fixed_probes():
+    """SOAR double assignment must lift recall at the same probe count
+    (the whole point of the spilled copies), with no duplicate ids."""
+    queries, corpus = _clustered(8000, 128)
+    k = 10
+    _, exact_ids = scoring.exact_top_k(
+        jnp.asarray(queries), jnp.asarray(corpus), k
+    )
+    exact_ids = np.asarray(exact_ids)
+
+    def recall(ids):
+        return np.mean([
+            len(np.intersect1d(exact_ids[i], np.asarray(ids)[i])) / k
+            for i in range(queries.shape[0])
+        ])
+
+    recalls = {}
+    for lam in (None, 1.5):
+        index = approximate.ScaNN(
+            k=k, num_leaves=64, num_leaves_to_search=2,
+            training_iterations=5, soar_lambda=lam,
+        ).index(jnp.asarray(corpus))
+        _, ids = index(jnp.asarray(queries))
+        ids_np = np.asarray(ids)
+        assert all(
+            len(set(r.tolist())) == len(r) for r in ids_np
+        ), "duplicate ids in SOAR results"
+        recalls[lam] = recall(ids)
+    assert recalls[1.5] > recalls[None], recalls
+
+
+def test_soar_exact_when_all_leaves_probed():
+    """With every leaf probed, SOAR + dedup must return the exact top-k
+    (the duplicate copies collapse to one hit per row)."""
+    queries, corpus = _data(1000, 32, 16, seed=17)
+    index = approximate.ScaNN(
+        k=10, num_leaves=8, num_leaves_to_search=8, soar_lambda=1.0,
+        training_iterations=3,
+    ).index(jnp.asarray(corpus))
+    _, ids = index(jnp.asarray(queries))
+    ref_ids = np.argsort(-(queries @ corpus.T), axis=1)[:, :10]
+    np.testing.assert_array_equal(np.asarray(ids), ref_ids)
+
+
+def test_soar_with_quantize_and_reorder():
+    queries, corpus = _clustered(4000, 64, seed=3)
+    index = approximate.ScaNN(
+        k=10, num_leaves=64, num_leaves_to_search=8, soar_lambda=1.5,
+        quantize=True, num_reordering_candidates=40,
+        training_iterations=5,
+    ).index(jnp.asarray(corpus))
+    scores, ids = index(jnp.asarray(queries))
+    ids_np = np.asarray(ids)
+    assert all(len(set(r.tolist())) == len(r) for r in ids_np)
+    # Reordered scores are exact dots of whatever was returned.
+    full = queries @ corpus.T
+    np.testing.assert_allclose(
+        np.asarray(scores),
+        np.take_along_axis(full, ids_np, axis=1),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_soar_validation():
+    with pytest.raises(ValueError, match="soar_lambda"):
+        approximate.ScaNN(soar_lambda=-1.0)
+
+
+def test_bucketed_scoring_near_exact_when_all_probed():
+    """scoring_buckets path: with all leaves probed and many more
+    buckets than k, the per-bucket argmax loses only rare collisions
+    among the true top-k (same trade as the `Bucketed` full scan)."""
+    queries, corpus = _data(800, 128, 16, seed=19)
+    index = approximate.ScaNN(
+        k=10, num_leaves=4, num_leaves_to_search=4,
+        scoring_buckets=1024, training_iterations=3,
+    ).index(jnp.asarray(corpus))
+    scores, ids = index(jnp.asarray(queries))
+    full = queries @ corpus.T
+    ref_ids = np.argsort(-full, axis=1)[:, :10]
+    assert np.mean(np.asarray(ids) == ref_ids) > 0.9
+    # Returned scores are true dot products of the returned ids.
+    np.testing.assert_allclose(
+        np.asarray(scores),
+        np.take_along_axis(full, np.asarray(ids), axis=1),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_probe_tile_recall_close_to_per_query():
+    """Tile-coherent probing with a per-query probe floor must not
+    collapse recall relative to per-query probing."""
+    queries, corpus = _clustered(20000, 128, d=128, seed=7)
+    k = 10
+    _, exact_ids = scoring.exact_top_k(
+        jnp.asarray(queries), jnp.asarray(corpus), k
+    )
+    exact_ids = np.asarray(exact_ids)
+
+    def recall(ids):
+        return np.mean([
+            len(np.intersect1d(exact_ids[i], np.asarray(ids)[i])) / k
+            for i in range(queries.shape[0])
+        ])
+
+    per_query = approximate.ScaNN(
+        k=k, num_leaves=64, num_leaves_to_search=8,
+        scoring_buckets=1024, training_iterations=5,
+    ).index(jnp.asarray(corpus))
+    tiled = approximate.ScaNN(
+        k=k, num_leaves=64, num_leaves_to_search=32,
+        scoring_buckets=1024, probe_tile=8, training_iterations=5,
+    ).index(jnp.asarray(corpus))
+    _, ids_pq = per_query(jnp.asarray(queries))
+    _, ids_t = tiled(jnp.asarray(queries))
+    r_pq, r_t = recall(ids_pq), recall(ids_t)
+    assert r_t > r_pq - 0.03, (r_pq, r_t)
+
+
+def test_bucketed_with_soar_and_reorder():
+    queries, corpus = _clustered(10000, 64, d=128, seed=9)
+    index = approximate.ScaNN(
+        k=10, num_leaves=64, num_leaves_to_search=16,
+        scoring_buckets=1024, probe_tile=8, soar_lambda=1.5,
+        quantize=True, num_reordering_candidates=40,
+        training_iterations=5,
+    ).index(jnp.asarray(corpus))
+    scores, ids = index(jnp.asarray(queries))
+    ids_np = np.asarray(ids)
+    assert all(len(set(r.tolist())) == len(r) for r in ids_np)
+    full = queries @ corpus.T
+    np.testing.assert_allclose(
+        np.asarray(scores),
+        np.take_along_axis(full, ids_np, axis=1),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_bucketed_odd_query_count_pads():
+    queries, corpus = _clustered(6000, 77, d=128, num_centers=16, seed=20)
+    index = approximate.ScaNN(
+        k=5, num_leaves=16, num_leaves_to_search=8,
+        scoring_buckets=512, probe_tile=4, training_iterations=4,
+    ).index(jnp.asarray(corpus))
+    scores, ids = index(jnp.asarray(queries))
+    assert ids.shape == (77, 5)
+    _, exact_ids = scoring.exact_top_k(
+        jnp.asarray(queries), jnp.asarray(corpus), 5
+    )
+    exact_ids = np.asarray(exact_ids)
+    rec = np.mean([
+        len(np.intersect1d(exact_ids[i], np.asarray(ids)[i])) / 5
+        for i in range(77)
+    ])
+    # Shape is the point (77 pads to 80 and slices back); recall just
+    # needs to be sane for 2 personal probes of 16 leaves.
+    assert rec > 0.75, rec
+
+
+def test_scoring_buckets_validation():
+    with pytest.raises(ValueError, match="scoring_buckets"):
+        approximate.ScaNN(scoring_buckets=200)
+    with pytest.raises(ValueError, match="probe_tile"):
+        approximate.ScaNN(probe_tile=0)
+    with pytest.raises(ValueError, match="probe_tile"):
+        approximate.ScaNN(probe_tile=8)

@@ -257,3 +257,50 @@ def test_scann_bf16_leaves_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(scores), np.asarray(expected_scores), rtol=1e-4
     )
+
+
+def test_scann_soar_roundtrip(tmp_path):
+    """SOAR indexes export with the duplicate-removal search path."""
+    from recommenders_tpu.layers import approximate
+
+    queries, corpus = _data(2000, 64, 8, seed=23)
+    index = approximate.ScaNN(
+        k=10, num_leaves=16, num_leaves_to_search=4, soar_lambda=1.5,
+        quantize=True, num_reordering_candidates=40,
+    )
+    index.index(jnp.asarray(corpus))
+    expected_scores, expected_ids = index(jnp.asarray(queries))
+
+    path = str(tmp_path / "scann_soar")
+    export_lib.export_index(path, index, queries, k=10)
+    scores, ids = export_lib.load_index(path)(queries)
+    np.testing.assert_array_equal(
+        np.asarray(ids), np.asarray(expected_ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(expected_scores), rtol=1e-4
+    )
+
+
+def test_scann_bucketed_tile_roundtrip(tmp_path):
+    """scoring_buckets + probe_tile indexes export with the bucketed
+    search path (incl. query padding to the tile width)."""
+    from recommenders_tpu.layers import approximate
+
+    queries, corpus = _data(3000, 128, 8, seed=24)
+    index = approximate.ScaNN(
+        k=10, num_leaves=16, num_leaves_to_search=8,
+        scoring_buckets=512, probe_tile=4, quantize=True,
+    )
+    index.index(jnp.asarray(corpus))
+    expected_scores, expected_ids = index(jnp.asarray(queries))
+
+    path = str(tmp_path / "scann_bkt")
+    export_lib.export_index(path, index, queries, k=10)
+    scores, ids = export_lib.load_index(path)(queries)
+    np.testing.assert_array_equal(
+        np.asarray(ids), np.asarray(expected_ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(expected_scores), rtol=1e-4
+    )

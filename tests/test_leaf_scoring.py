@@ -109,3 +109,49 @@ def test_zero_rows_quantize_safely():
     s, q = approximate._quantize_rows(v, 0.2)
     assert np.isfinite(s).all()
     np.testing.assert_array_equal(q[0], np.zeros(16))
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize("query_tile", [1, 8])
+def test_bucketed_kernel_matches_reference(quantized, query_tile):
+    """Interpreted bucketed kernel == jnp fold oracle, incl. padding
+    slots (rows == -1) and int8 dequantization."""
+    embs, scales = _leaves(num_leaves=8, cap=256, quantized=quantized)
+    rng = np.random.RandomState(2)
+    rows = rng.permutation(8 * 256).astype(np.int32).reshape(8, 256)
+    rows[:, -5:] = -1
+    rows = jnp.asarray(rows)
+    qn = 16
+    queries = jnp.asarray(rng.normal(size=(qn, 128)).astype(np.float32))
+    probes = jnp.asarray(
+        rng.randint(0, 8, size=(qn // query_tile, 4)).astype(np.int32)
+    )
+    vk, rk = leaf_scoring.probed_bucketed_scores(
+        queries, embs, scales, rows, probes, buckets=128,
+        query_tile=query_tile, interpret=True,
+    )
+    vr, rr = leaf_scoring.probed_bucketed_reference(
+        queries, embs, scales, rows, probes, buckets=128,
+        query_tile=query_tile,
+    )
+    np.testing.assert_allclose(
+        np.asarray(vk), np.asarray(vr), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(rk), np.asarray(rr))
+
+
+def test_bucketed_kernel_shape_guards():
+    embs, _ = _leaves(num_leaves=4, cap=256)
+    rows = jnp.zeros((4, 256), jnp.int32)
+    queries = jnp.zeros((8, 128))
+    probes = jnp.zeros((8, 2), jnp.int32)
+    with pytest.raises(ValueError, match="cap % buckets"):
+        leaf_scoring.probed_bucketed_scores(
+            queries, embs, None, rows, probes, buckets=192,
+            query_tile=1, interpret=True,
+        )
+    with pytest.raises(ValueError, match="queries rows"):
+        leaf_scoring.probed_bucketed_scores(
+            queries, embs, None, rows, probes, buckets=128,
+            query_tile=3, interpret=True,
+        )

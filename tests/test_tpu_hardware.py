@@ -211,3 +211,47 @@ def test_quantized_bucketed_kernel_compiled_on_chip():
         assert np.isfinite(np.asarray(vals)).all()
         print("quantized bucketed kernel ok, agreement", agree)
     """)
+
+
+def test_bucketed_leaf_scoring_kernel_compiled_on_chip():
+    """The bucketed probed-scoring kernel (in-kernel argmax fold,
+    tile-shared probes) lowers through Mosaic and matches the jnp
+    oracle, f32 and int8."""
+    _run_on_tpu("""
+        import sys; sys.path.insert(0, ".")
+        import numpy as np, jax, jax.numpy as jnp
+        from recommenders_tpu.ops import leaf_scoring
+        from recommenders_tpu.layers import approximate
+        rng = np.random.RandomState(5)
+        embs = rng.normal(size=(16, 256, 128)).astype(np.float32)
+        rows = rng.permutation(16 * 256).astype(np.int32).reshape(16, 256)
+        rows[:, -9:] = -1
+        rows = jnp.asarray(rows)
+        queries = jnp.asarray(
+            rng.normal(size=(32, 128)).astype(np.float32))
+        for tile in (1, 8):
+            probes = jnp.asarray(
+                rng.randint(0, 16, size=(32 // tile, 4)), jnp.int32)
+            vk, rk = leaf_scoring.probed_bucketed_scores(
+                queries, jnp.asarray(embs), None, rows, probes,
+                buckets=128, query_tile=tile)
+            vr, rr = leaf_scoring.probed_bucketed_reference(
+                queries, jnp.asarray(embs), None, rows, probes,
+                buckets=128, query_tile=tile)
+            agree = float((np.asarray(rk) == np.asarray(rr)).mean())
+            assert agree >= 0.99, f"tile={tile} row agreement {agree}"
+            np.testing.assert_allclose(
+                np.asarray(vk), np.asarray(vr), rtol=5e-2, atol=0.2)
+        scales, codes = approximate._quantize_rows(embs, 0.2)
+        probes = jnp.asarray(
+            rng.randint(0, 16, size=(4, 4)), jnp.int32)
+        vk, rk = leaf_scoring.probed_bucketed_scores(
+            queries, jnp.asarray(codes), jnp.asarray(scales), rows,
+            probes, buckets=128, query_tile=8)
+        vr, rr = leaf_scoring.probed_bucketed_reference(
+            queries, jnp.asarray(codes), jnp.asarray(scales), rows,
+            probes, buckets=128, query_tile=8)
+        agree = float((np.asarray(rk) == np.asarray(rr)).mean())
+        assert agree >= 0.99, f"quantized row agreement {agree}"
+        print("bucketed leaf kernel compiled ok")
+    """)
