@@ -573,6 +573,9 @@ def _search_bucketed(
         _, probes = jax.lax.top_k(cscores, num_probes)  # [Q, P]
     probes = probes.astype(jnp.int32)
     scales = leaf_scales if quantized else None
+    # Effective fold width cannot exceed leaf capacity (a leaf with
+    # cap < requested buckets folds slot c into bucket c directly).
+    buckets = min(buckets, leaf_embs.shape[1])
     if jax.default_backend() != "cpu" and d % 128 == 0:
         vals, rows = leaf_scoring.probed_bucketed_scores(
             queries, leaf_embs, scales, leaf_rows, probes, buckets,
@@ -666,7 +669,8 @@ class ScaNN(factorized_top_k.TopK):
         (the `Bucketed` full-scan reduction applied to the probed
         subset). Use ≥ 40× k (bucket-collision recall loss matches
         `Bucketed`, e.g. ≈0.99 at 4096 buckets / k=100). Must be a
-        multiple of 128; leaf capacity rounds up to a multiple of it.
+        multiple of 128; clamped to the leaf capacity (folding handles
+        any 128-aligned capacity, including partial tail groups).
       probe_tile: With `scoring_buckets`, queries are sorted by primary
         centroid and each tile of `probe_tile` queries shares one probe
         list (top-P leaves by the tile's max centroid affinity), so a
@@ -769,9 +773,10 @@ class ScaNN(factorized_top_k.TopK):
         # SOAR packs every row twice (primary + spilled assignment).
         rows = 2 * n if self._soar_lambda is not None else n
         # Leaf blocks feed the Pallas scorers; keep them on the 128-row
-        # tiling grid, and on the bucket grid for the bucketed kernel
-        # (which folds capacity in groups of `scoring_buckets`).
-        grain = max(128, self._scoring_buckets or 0)
+        # tiling grid. The bucketed kernel folds any 128-aligned
+        # capacity (partial tail group), so no bucket-grain padding —
+        # that would inflate scan traffic by up to scoring_buckets/cap.
+        grain = 128
         if self._leaf_capacity is not None:
             if num_leaves * self._leaf_capacity < rows:
                 raise ValueError(

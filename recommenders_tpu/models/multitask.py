@@ -45,6 +45,8 @@ class Multitask(models_base.Model):
       query_key / candidate_key / rating_key: Batch keys.
       retrieval_weight / rating_weight: Scalar loss weights.
       temperature: Retrieval softmax temperature.
+      fused: Compute the retrieval loss with the flash-CE Pallas kernel
+        (scores never materialize; the per-batch top-k metric freezes).
     """
 
     query_tower: ModuleFactory = lambda: retrieval_model.EmbeddingTower(
@@ -60,13 +62,14 @@ class Multitask(models_base.Model):
     retrieval_weight: float = 1.0
     rating_weight: float = 1.0
     temperature: Optional[float] = None
+    fused: bool = False
 
     def setup(self):
         self._query = self.query_tower()
         self._candidate = self.candidate_tower()
         self._rating = self.rating_head()
         self.retrieval_task = retrieval_task.Retrieval(
-            temperature=self.temperature
+            temperature=self.temperature, fused=self.fused
         )
         self.rating_task = ranking_task.Ranking(
             loss_fn=ranking_task.mean_squared_error
@@ -114,18 +117,27 @@ class Multitask(models_base.Model):
         weight = batch.get("sample_weight")
         # Batch top-k uses the final (labels, logits) fed to the loss,
         # matching the reference (tasks/retrieval.py:230-234).
-        return {
+        new_states = {
             "rating_rmse": metrics_base.RootMeanSquaredError().update(
                 states["rating_rmse"],
                 rating_out.labels,
                 rating_out.predictions,
                 weight,
             ),
-            "batch_top_10_categorical_accuracy":
+        }
+        if retrieval_out.logits is None:
+            # Fused retrieval task: logits never materialize, so the
+            # per-batch top-k metric carries over unchanged.
+            new_states["batch_top_10_categorical_accuracy"] = states[
+                "batch_top_10_categorical_accuracy"
+            ]
+        else:
+            new_states["batch_top_10_categorical_accuracy"] = (
                 metrics_base.TopKCategoricalAccuracy(k=10).update(
                     states["batch_top_10_categorical_accuracy"],
                     retrieval_out.labels,
                     retrieval_out.logits,
                     weight,
-                ),
-        }
+                )
+            )
+        return new_states

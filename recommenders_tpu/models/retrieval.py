@@ -145,6 +145,12 @@ class TwoTowerRetrieval(models_base.Model):
         `candidate_sampling_probability`. Requires scalar candidate ids
         and `candidate_vocab_size`.
       candidate_vocab_size: Id range for negative sampling.
+      score_dtype: Optional dtype (e.g. `jnp.bfloat16`) for the scoring
+        matmul inputs; accumulation stays f32.
+      fused: Compute the loss with the flash-CE Pallas kernel
+        (`ops/fused_retrieval.py`) — the `[B, C]` score matrix never
+        materializes. Per-batch top-k metrics (`batch_metric_ks`) have
+        no logits to read and stay frozen at their initial value.
     """
 
     query_tower: ModuleFactory = lambda: EmbeddingTower(1000, 32)
@@ -157,6 +163,8 @@ class TwoTowerRetrieval(models_base.Model):
     batch_metric_ks: Tuple[int, ...] = (1, 10)
     num_extra_negatives: int = 0
     candidate_vocab_size: Optional[int] = None
+    score_dtype: Optional[jnp.dtype] = None
+    fused: bool = False
 
     def setup(self):
         self._query = self.query_tower()
@@ -165,6 +173,8 @@ class TwoTowerRetrieval(models_base.Model):
             temperature=self.temperature,
             remove_accidental_hits=self.remove_accidental_hits,
             num_hard_negatives=self.num_hard_negatives,
+            score_dtype=self.score_dtype,
+            fused=self.fused,
         )
 
     @staticmethod
@@ -246,6 +256,10 @@ class TwoTowerRetrieval(models_base.Model):
         # (tasks/retrieval.py:230-234). `out.scores` (pre-correction) is
         # deliberately not used here.
         out: retrieval_task.RetrievalOutput = aux["retrieval"]
+        if out.logits is None:
+            # Fused task: logits never materialize, so per-batch top-k
+            # metrics are unavailable (corpus metrics still work).
+            return dict(states)
         weight = batch.get("sample_weight")
         new_states = {}
         for k in self.batch_metric_ks:

@@ -188,6 +188,18 @@ def _fold_buckets(
         upd = sub > run_vals[:]
         run_vals[:] = jnp.where(upd, sub, run_vals[:])
         run_rows[:] = jnp.where(upd, sub_rows, run_rows[:])
+    # Partial tail group (cap need only be 128-aligned, not a bucket
+    # multiple — padding leaves to the bucket grain would inflate scan
+    # traffic): the last cap % buckets slots fold into the leading
+    # buckets of the running state.
+    tail = cap % buckets
+    if tail:
+        start = (cap // buckets) * buckets
+        sub = scores[:, start:]
+        sub_rows = rows[:, start:]
+        upd = sub > run_vals[:, :tail]
+        run_vals[:, :tail] = jnp.where(upd, sub, run_vals[:, :tail])
+        run_rows[:, :tail] = jnp.where(upd, sub_rows, run_rows[:, :tail])
 
 
 def _kernel_bucketed_f32(
@@ -260,11 +272,13 @@ def probed_bucketed_scores(
 
     Args:
       queries: `[Q, D]` f32, `Q` a multiple of `query_tile`.
-      leaf_embs: `[L, cap, D]` f32/bf16 or int8 (`cap % buckets == 0`).
+      leaf_embs: `[L, cap, D]` f32/bf16 or int8 (`cap % 128 == 0`; a
+        partial tail group folds into the leading buckets, so cap need
+        NOT be a bucket multiple).
       leaf_scales: `[L, cap]` f32 per-row dequant scales, or None.
       leaf_rows: `[L, cap]` int32 global row per slot, -1 for padding.
       probes: `[Q // query_tile, P]` int32 leaf ids per tile.
-      buckets: Reduction width `B` (multiple of 128, divides cap).
+      buckets: Reduction width `B` (multiple of 128, ≤ cap).
       query_tile: Queries per probe tile.
       interpret: Run interpreted (tests on CPU).
 
@@ -282,10 +296,10 @@ def probed_bucketed_scores(
             f"queries rows ({qn}) must equal tiles ({tiles}) × "
             f"query_tile ({tq})."
         )
-    if d % _LANES or buckets % _LANES or cap % buckets:
+    if d % _LANES or buckets % _LANES or cap % _LANES or buckets > cap:
         raise ValueError(
-            f"needs dim % {_LANES} == 0, buckets % {_LANES} == 0 and "
-            f"cap % buckets == 0; got dim={d}, buckets={buckets}, "
+            f"needs dim, buckets and cap % {_LANES} == 0 and "
+            f"buckets <= cap; got dim={d}, buckets={buckets}, "
             f"cap={cap}."
         )
     grid = (tiles, num_probes)
@@ -384,7 +398,20 @@ def probed_bucketed_reference(
     )                                       # [T, tq, P, cap]
     rows = leaf_rows[probes]                # [T, P, cap]
     scores = jnp.where(rows[:, None] >= 0, scores, MIN_FLOAT)
-    groups = num_probes * cap // buckets
+    # Within each probed leaf, slot c folds into bucket c % buckets —
+    # pad cap up to a bucket multiple so the partial tail group
+    # reshapes cleanly (the kernel handles the tail with a sliced
+    # update instead).
+    pad = (-cap) % buckets
+    if pad:
+        scores = jnp.pad(
+            scores, ((0, 0), (0, 0), (0, 0), (0, pad)),
+            constant_values=MIN_FLOAT,
+        )
+        rows = jnp.pad(
+            rows, ((0, 0), (0, 0), (0, pad)), constant_values=-1
+        )
+    groups = num_probes * (cap + pad) // buckets
     gv = scores.reshape(tiles, tq, groups, buckets)
     gr = jnp.broadcast_to(
         rows.reshape(tiles, 1, groups, buckets), gv.shape

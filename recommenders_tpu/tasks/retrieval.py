@@ -67,6 +67,10 @@ class RetrievalOutput(NamedTuple):
       labels: `[num_queries, num_kept]` labels aligned with `logits`.
       scores: `[num_queries, num_candidates]` raw (pre-correction, but
         post-temperature) in-batch scores, useful for batch metrics.
+
+    With `Retrieval(fused=True)` only `loss` is set — logits, labels
+    and scores are None because the fused kernel never materializes
+    them.
     """
 
     loss: Array
@@ -100,6 +104,19 @@ class Retrieval(base.Task):
         this dtype before the scoring matmul while accumulation stays
         f32 (`preferred_element_type`) — halves the MXU input bandwidth
         on TPU with near-f32 numerics. Loss math downstream is f32.
+      fused: If True, the loss is computed by the flash-CE Pallas
+        kernel (`ops/fused_retrieval.py`): the `[B, C]` score matrix is
+        GUARANTEED never to materialize in HBM (XLA usually fuses the
+        unfused path just as well when only `.loss` is consumed — use
+        this when that guarantee matters, e.g. very large pooled
+        negatives). Same value
+        and gradients as the unfused path for temperature / log-q /
+        accidental hits / sample weights / extra negatives; maxsim
+        queries, `num_hard_negatives` and `score_mask` are
+        incompatible and raise. The returned `RetrievalOutput` carries
+        only `loss` (logits/labels/scores are None — per-batch top-k
+        metrics need the unfused task). Off-TPU it falls back to
+        identical-math jnp (still loss-only).
     """
 
     loss_fn: Callable[..., Array] = softmax_cross_entropy
@@ -107,6 +124,7 @@ class Retrieval(base.Task):
     num_hard_negatives: Optional[int] = None
     remove_accidental_hits: bool = False
     score_dtype: Optional[jnp.dtype] = None
+    fused: bool = False
 
     def __call__(
         self,
@@ -136,6 +154,36 @@ class Retrieval(base.Task):
         Returns:
           A `RetrievalOutput`.
         """
+        if self.fused:
+            if (
+                query_embeddings.ndim != 2
+                or self.num_hard_negatives is not None
+                or score_mask is not None
+                or self.loss_fn is not softmax_cross_entropy
+            ):
+                raise ValueError(
+                    "Retrieval(fused=True) supports 2D queries with the "
+                    "default softmax CE loss and no hard-negative "
+                    "mining or score mask; use the unfused task for "
+                    "those knobs."
+                )
+            from recommenders_tpu.ops import fused_retrieval
+
+            loss = fused_retrieval.fused_retrieval_loss(
+                query_embeddings,
+                candidate_embeddings,
+                sample_weight=sample_weight,
+                candidate_sampling_probability=(
+                    candidate_sampling_probability
+                ),
+                candidate_ids=candidate_ids,
+                temperature=self.temperature,
+                remove_accidental_hits=self.remove_accidental_hits,
+                score_dtype=self.score_dtype,
+            )
+            return RetrievalOutput(
+                loss=loss, logits=None, labels=None, scores=None
+            )
         if self.score_dtype is not None:
             query_embeddings = query_embeddings.astype(self.score_dtype)
             candidate_embeddings = candidate_embeddings.astype(

@@ -140,12 +140,45 @@ def test_bucketed_kernel_matches_reference(quantized, query_tile):
     np.testing.assert_array_equal(np.asarray(rk), np.asarray(rr))
 
 
+@pytest.mark.parametrize("cap,buckets", [(384, 256), (128, 256)])
+def test_bucketed_kernel_partial_tail_group(cap, buckets):
+    """cap need only be 128-aligned: a partial tail group folds into
+    the leading buckets; buckets above cap clamp at the caller (here
+    the kernel itself rejects buckets > cap)."""
+    embs, _ = _leaves(num_leaves=8, cap=cap)
+    rng = np.random.RandomState(3)
+    rows = rng.permutation(8 * cap).astype(np.int32).reshape(8, cap)
+    rows[:, -3:] = -1
+    rows = jnp.asarray(rows)
+    queries = jnp.asarray(rng.normal(size=(16, 128)).astype(np.float32))
+    probes = jnp.asarray(rng.randint(0, 8, size=(16, 4)), jnp.int32)
+    if buckets > cap:
+        with pytest.raises(ValueError, match="buckets <= cap"):
+            leaf_scoring.probed_bucketed_scores(
+                queries, embs, None, rows, probes, buckets=buckets,
+                query_tile=1, interpret=True,
+            )
+        return
+    vk, rk = leaf_scoring.probed_bucketed_scores(
+        queries, embs, None, rows, probes, buckets=buckets,
+        query_tile=1, interpret=True,
+    )
+    vr, rr = leaf_scoring.probed_bucketed_reference(
+        queries, embs, None, rows, probes, buckets=buckets,
+        query_tile=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(vk), np.asarray(vr), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(rk), np.asarray(rr))
+
+
 def test_bucketed_kernel_shape_guards():
     embs, _ = _leaves(num_leaves=4, cap=256)
     rows = jnp.zeros((4, 256), jnp.int32)
     queries = jnp.zeros((8, 128))
     probes = jnp.zeros((8, 2), jnp.int32)
-    with pytest.raises(ValueError, match="cap % buckets"):
+    with pytest.raises(ValueError, match="buckets <= cap"):
         leaf_scoring.probed_bucketed_scores(
             queries, embs, None, rows, probes, buckets=192,
             query_tile=1, interpret=True,
