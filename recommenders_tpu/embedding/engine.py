@@ -87,6 +87,13 @@ class EmbeddingEngine:
         shards for skewed id distributions). "mod" stores tables in a
         physically permuted layout and translates ids on lookup/update;
         use `logical_tables` to read rows in logical order.
+      sparse_update_kernel: Apply sparse optimizer updates through the
+        sorted blocked Pallas kernel (`ops/sparse_apply.py`) instead of
+        XLA scatters — the TensorCore stand-in for the reference's
+        SparseCore update hardware. Default (None) auto-enables on TPU
+        for unsharded engines; pallas_call does not partition under
+        GSPMD, so meshed engines keep the scatter path (shard-local
+        callers that route ids themselves can force it on).
     """
 
     def __init__(
@@ -97,6 +104,7 @@ class EmbeddingEngine:
         table_axis: str = mesh_lib.MODEL_AXIS,
         dtype=jnp.float32,
         row_sharding: str = "div",
+        sparse_update_kernel: Optional[bool] = None,
     ) -> None:
         if row_sharding not in ("div", "mod"):
             raise ValueError(
@@ -108,6 +116,7 @@ class EmbeddingEngine:
         self.table_axis = table_axis
         self.dtype = dtype
         self.row_sharding = row_sharding
+        self.sparse_update_kernel = sparse_update_kernel
 
         self._tables: Dict[str, config_lib.TableConfig] = {}
         for fc in self.feature_configs:
@@ -319,6 +328,11 @@ class EmbeddingEngine:
             per_table_ids.setdefault(fc.table.name, []).append(ids)
             per_table_grads.setdefault(fc.table.name, []).append(grads)
 
+        use_kernel = self.sparse_update_kernel
+        if use_kernel is None:
+            use_kernel = (
+                self.mesh is None and jax.default_backend() == "tpu"
+            )
         tables = dict(state.tables)
         slots = dict(state.slots)
         for tname, ids_list in per_table_ids.items():
@@ -329,6 +343,7 @@ class EmbeddingEngine:
             tables[tname], slots[tname] = sparse_optimizer.apply_sparse(
                 spec, tables[tname], slots[tname], ids, grads, state.step,
                 max_unique=tc.max_unique_ids,
+                use_kernel=use_kernel,
             )
         return EngineState(
             tables=tables, slots=slots, step=state.step + 1

@@ -25,11 +25,17 @@ import jax
 import jax.numpy as jnp
 
 from recommenders_tpu.embedding import config as config_lib
+from recommenders_tpu.ops import sparse_apply
 
 Array = jax.Array
 Slots = Dict[str, Array]
 
 PAD_ID = config_lib.PAD_ID
+
+# Optimizer kinds the blocked Pallas apply supports. Clippy needs a
+# GLOBAL scalar (min clipping factor across every touched row), which a
+# per-block rule cannot compute — it stays on the scatter path.
+KERNEL_KINDS = ("sgd", "adagrad", "adam", "ftrl")
 
 
 def dedupe_sum(
@@ -129,6 +135,155 @@ def init_slots(
     raise ValueError(f"Unknown optimizer kind {spec.kind!r}")
 
 
+def _kernel_rule(spec: config_lib.OptimizerSpec, step: Array):
+    """(slot_names, scalars, block_update) for the blocked Pallas apply.
+
+    Each rule reproduces the scatter path's per-row math exactly, with
+    runtime scalars (LR at this step, Adam bias corrections) computed
+    outside the kernel and smuggled in through SMEM. Rules must be
+    identities for rows with `count == 0` (untouched rows inside a
+    touched block).
+    """
+    lr = jnp.asarray(spec.lr_at(step), jnp.float32)
+
+    if spec.kind == "sgd":
+
+        def rule(states, g, count, sc):
+            (table,) = states
+            return [table - sc[0] * g]
+
+        return (), jnp.stack([lr]), rule
+
+    if spec.kind == "adagrad":
+
+        def rule(states, g, count, sc):
+            table, accum = states
+            new_accum = accum + jnp.square(g)
+            scale = jax.lax.rsqrt(new_accum + 1e-12)
+            return [table - sc[0] * g * scale, new_accum]
+
+        return ("accumulator",), jnp.stack([lr]), rule
+
+    if spec.kind == "adam":
+        t = step.astype(jnp.float32) + 1.0
+        scalars = jnp.stack(
+            [lr, 1.0 - spec.beta1**t, 1.0 - spec.beta2**t]
+        )
+
+        def rule(states, g, count, sc, spec=spec):
+            table, m, v = states
+            lr_t, bc1, bc2 = sc
+            touched = count > 0
+            m_rows = spec.beta1 * m + (1 - spec.beta1) * g
+            v_rows = spec.beta2 * v + (1 - spec.beta2) * jnp.square(g)
+            delta = -lr_t * (m_rows / bc1) / (
+                jnp.sqrt(v_rows / bc2) + spec.epsilon
+            )
+            return [
+                table + jnp.where(touched, delta, 0.0),
+                jnp.where(touched, m_rows, m),
+                jnp.where(touched, v_rows, v),
+            ]
+
+        return ("m", "v"), scalars, rule
+
+    if spec.kind == "ftrl":
+
+        def rule(states, g, count, sc, spec=spec):
+            table, accum, linear = states
+            lr_t = sc[0]
+            lrp = spec.learning_rate_power
+            l1 = spec.l1_regularization_strength
+            l2 = spec.l2_regularization_strength
+            touched = count > 0
+            n_new = accum + jnp.square(g)
+            sigma = (
+                jnp.power(n_new, -lrp) - jnp.power(accum, -lrp)
+            ) / lr_t
+            z_new = linear + g - sigma * table
+            denom = jnp.power(n_new, -lrp) / lr_t + 2 * l2
+            w_new = jnp.where(
+                jnp.abs(z_new) > l1,
+                (jnp.sign(z_new) * l1 - z_new) / denom,
+                0.0,
+            )
+            return [
+                jnp.where(touched, w_new, table),
+                jnp.where(touched, n_new, accum),
+                jnp.where(touched, z_new, linear),
+            ]
+
+        return ("accumulator", "linear"), jnp.stack([lr]), rule
+
+    raise ValueError(f"No kernel rule for optimizer kind {spec.kind!r}")
+
+
+def _apply_sparse_kernel(
+    spec: config_lib.OptimizerSpec,
+    table: Array,
+    slots: Slots,
+    ids: Array,
+    grads: Array,
+    step: Array,
+    max_unique: Optional[int],
+    block_rows: Optional[int] = None,
+    chunk: int = 128,
+) -> Optional[Tuple[Array, Slots]]:
+    """Blocked-kernel formulation of `apply_sparse`; None if unsupported.
+
+    Skips the scatter pipeline entirely: the kernel's routing matmul
+    sums duplicate ids itself, so (unless `max_unique` bounds the update
+    size) no `dedupe_sum`/segment-sum runs — just one id sort. Off-TPU
+    the kernel runs interpreted (tests); real deployments hit this path
+    on TPU via `apply_sparse(use_kernel=True)`.
+    """
+    v = table.shape[0]
+    slot_names, scalars, rule = _kernel_rule(spec, step)
+    if block_rows is None:
+        # Largest power-of-two ≤ 1024 whose VMEM working set (in + out
+        # double-buffered blocks per state array, plus the routing
+        # scratch) stays within ~8 MB of the chip's 16 MB. On the v5e,
+        # 1024 rows keeps the kernel at the HBM roofline for 64-d
+        # tables (measured: 1024 ≈ 300 us vs 512 ≈ 450 us at
+        # V=131072, n=4096).
+        d = table.shape[1]
+        num_states = 1 + len(slot_names)
+        bytes_per_row = d * 4 * (4 * num_states + 2)
+        block_rows = 1024
+        while block_rows > 8 and block_rows * bytes_per_row > 8 << 20:
+            block_rows //= 2
+    if sparse_apply._pick_block_rows(v, block_rows) == 0:
+        return None
+    if max_unique is not None and max_unique < ids.shape[0]:
+        # Bounded dedupe first: output ids are ascending with PAD_ID
+        # (which maps to the dropped row V) in the trailing slots.
+        ids, grads = dedupe_sum(ids, grads, max_unique)
+        sorted_ids = jnp.where(ids == PAD_ID, v, ids).astype(jnp.int32)
+        sorted_grads = grads
+    else:
+        mapped = jnp.where(
+            (ids < 0) | (ids >= v), v, ids
+        ).astype(jnp.int32)
+        order = jnp.argsort(mapped)
+        sorted_ids = mapped[order]
+        sorted_grads = grads[order]
+    states = (table,) + tuple(slots[nm] for nm in slot_names)
+    new_states = sparse_apply.sorted_block_apply(
+        states,
+        sorted_ids,
+        sorted_grads.astype(jnp.float32),
+        rule,
+        scalars=scalars,
+        block_rows=block_rows,
+        chunk=chunk,
+        interpret=jax.default_backend() != "tpu",
+    )
+    new_slots = dict(slots)
+    for nm, arr in zip(slot_names, new_states[1:]):
+        new_slots[nm] = arr
+    return new_states[0], new_slots
+
+
 def apply_sparse(
     spec: config_lib.OptimizerSpec,
     table: Array,
@@ -137,6 +292,7 @@ def apply_sparse(
     grads: Array,
     step: Array,
     max_unique: Optional[int] = None,
+    use_kernel: bool = False,
 ) -> Tuple[Array, Slots]:
     """Applies one sparse update. `ids: [n]`, `grads: [n, dim]`.
 
@@ -146,7 +302,20 @@ def apply_sparse(
     out-of-range rows dropped by the scatter), letting XLA parallelize
     the row updates. `max_unique` (TableConfig.max_unique_ids) compacts
     the deduplicated update to a fixed length — see `dedupe_sum`.
+
+    With `use_kernel=True` (and a supported optimizer kind / table
+    shape) the update runs through the sorted blocked Pallas kernel
+    (`ops/sparse_apply.py`) instead of XLA scatters — same math, but the
+    update is dense block-wise MXU/VPU work instead of a sequential
+    per-row scatter loop. Intended for unsharded (shard-local) tables on
+    TPU; under GSPMD auto-sharding keep the scatter path.
     """
+    if use_kernel and spec.kind in KERNEL_KINDS:
+        result = _apply_sparse_kernel(
+            spec, table, slots, ids, grads, step, max_unique
+        )
+        if result is not None:
+            return result
     ids, grads = dedupe_sum(ids, grads, max_unique)
     uids = _unique_ids(ids, table.shape[0])
     # Learning rate at this step (float, or the schedule evaluated on the

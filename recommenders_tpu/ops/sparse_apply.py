@@ -119,16 +119,25 @@ def _kernel(
     )
     local = jnp.where((idx >= s) & (idx < e), ids - base, -1)
     rows = lax.broadcasted_iota(jnp.int32, (chunk, block_rows), 1)
-    onehot_t = (local == rows).astype(jnp.float32)  # [chunk, R]
-    g_acc[...] = g_acc[...] + lax.dot_general(
-        onehot_t,
-        aug_ref[:, :d_grad],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        # Full f32: the default MXU pass is bf16 and would round the
-        # routed gradients (~0.4% rel error).
-        precision=lax.Precision.DEFAULT,
-    )                                            # [R, d_grad]
+    onehot_t = (local == rows).astype(jnp.bfloat16)  # [chunk, R]
+    # Near-f32 routing at 2 MXU passes instead of HIGHEST's 6: the
+    # one-hot side is EXACT in bf16 (0.0/1.0), so only the gradient
+    # side needs splitting — g = hi + lo with both parts bf16 gives
+    # each product exactly and ~16 mantissa bits on the sum (f32
+    # accumulation), vs bf16's 8 on a single DEFAULT pass.
+    g = aug_ref[:, :d_grad]
+    g_hi = g.astype(jnp.bfloat16)
+    g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def route(part):
+        return lax.dot_general(
+            onehot_t,
+            part,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    g_acc[...] = g_acc[...] + route(g_hi) + route(g_lo)  # [R, d_grad]
 
     @pl.when(is_last)
     def _():

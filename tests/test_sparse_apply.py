@@ -125,7 +125,7 @@ def test_adagrad_matches_oracle(runner, v, d, n, block_rows, chunk):
     want = _oracle([table, accum], ids, grads, _np_adagrad(), v)
     for g, w in zip(got, want):
         np.testing.assert_allclose(
-            np.asarray(g), w.astype(np.float32), rtol=2e-5, atol=1e-5
+            np.asarray(g), w.astype(np.float32), rtol=1e-4, atol=5e-5
         )
 
 
@@ -165,7 +165,7 @@ def test_count_mask_decay_rule(runner):
     )
     (want,) = _oracle([m], ids, grads, _np_decay(), v)
     np.testing.assert_allclose(
-        np.asarray(got), want.astype(np.float32), rtol=2e-5, atol=1e-6
+        np.asarray(got), want.astype(np.float32), rtol=1e-4, atol=5e-5
     )
     # Row 4 shares block 0 with rows 3/7 but was never updated.
     np.testing.assert_array_equal(np.asarray(got)[4], m[4])
@@ -212,7 +212,7 @@ def test_kernel_fuzz_against_reference(seed):
     )
     for g, w in zip(got, want):
         np.testing.assert_allclose(
-            np.asarray(g), np.asarray(w), rtol=2e-5, atol=1e-5
+            np.asarray(g), np.asarray(w), rtol=1e-4, atol=5e-5
         )
 
 
@@ -232,5 +232,5 @@ def test_wide_rows_multilane():
     want = _oracle([table, accum], ids, grads, _np_adagrad(), v)
     for g, w in zip(got, want):
         np.testing.assert_allclose(
-            np.asarray(g), w.astype(np.float32), rtol=2e-5, atol=1e-5
+            np.asarray(g), w.astype(np.float32), rtol=1e-4, atol=5e-5
         )

@@ -1,0 +1,159 @@
+"""Kernel-path `apply_sparse(use_kernel=True)` vs the scatter path.
+
+Both formulations must produce the same table and slot state for every
+supported optimizer kind — the blocked Pallas apply is a drop-in for
+the scatter pipeline (reference semantics: the SparseCore updaters
+behind tpu_embedding_layer.py:40-76). Off-TPU the kernel runs
+interpreted, so these tests exercise the real kernel code path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recommenders_tpu.embedding import config as config_lib
+from recommenders_tpu.embedding import engine as engine_lib
+from recommenders_tpu.embedding import sparse_optimizer
+
+V, D, N = 64, 8, 48
+
+SPECS = {
+    "sgd": config_lib.OptimizerSpec(kind="sgd", learning_rate=0.3),
+    "adagrad": config_lib.OptimizerSpec(
+        kind="adagrad", learning_rate=0.2, initial_accumulator_value=0.1
+    ),
+    "adam": config_lib.OptimizerSpec(kind="adam", learning_rate=0.05),
+    "ftrl": config_lib.OptimizerSpec(
+        kind="ftrl",
+        learning_rate=0.1,
+        l1_regularization_strength=0.01,
+        l2_regularization_strength=0.02,
+    ),
+    "schedule": config_lib.OptimizerSpec(
+        kind="adagrad",
+        learning_rate=lambda step: 0.5 / (1.0 + step.astype(jnp.float32)),
+    ),
+}
+
+
+def _problem(seed, n=N, v=V, d=D, pad=True):
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(0, v, size=n).astype(np.int32)
+    ids[: n // 4] = ids[rng.randint(0, n, n // 4)]  # duplicates
+    if pad:
+        ids[-3:] = config_lib.PAD_ID
+    grads = rng.normal(size=(n, d)).astype(np.float32)
+    grads[ids == config_lib.PAD_ID] = 0.0
+    table = rng.normal(size=(v, d)).astype(np.float32)
+    return jnp.asarray(ids), jnp.asarray(grads), jnp.asarray(table)
+
+
+@pytest.mark.parametrize("name", list(SPECS))
+@pytest.mark.parametrize("max_unique", [None, 24])
+def test_kernel_matches_scatter(name, max_unique):
+    spec = SPECS[name]
+    ids, grads, table = _problem(0)
+    slots = sparse_optimizer.init_slots(spec, table)
+    step = jnp.asarray(3, jnp.int32)
+
+    t_ref, s_ref = sparse_optimizer.apply_sparse(
+        spec, table, dict(slots), ids, grads, step, max_unique=max_unique
+    )
+    t_ker, s_ker = sparse_optimizer.apply_sparse(
+        spec,
+        table,
+        dict(slots),
+        ids,
+        grads,
+        step,
+        max_unique=max_unique,
+        use_kernel=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_ker), np.asarray(t_ref), rtol=1e-4, atol=5e-5
+    )
+    assert set(s_ker) == set(s_ref)
+    for k in s_ref:
+        np.testing.assert_allclose(
+            np.asarray(s_ker[k]),
+            np.asarray(s_ref[k]),
+            rtol=1e-4,
+            atol=5e-5,
+            err_msg=f"slot {k}",
+        )
+
+
+def test_clippy_falls_back_to_scatter():
+    spec = config_lib.OptimizerSpec(kind="clippy", learning_rate=0.1)
+    ids, grads, table = _problem(1)
+    slots = sparse_optimizer.init_slots(spec, table)
+    step = jnp.asarray(0, jnp.int32)
+    t_ref, s_ref = sparse_optimizer.apply_sparse(
+        spec, table, dict(slots), ids, grads, step
+    )
+    t_ker, s_ker = sparse_optimizer.apply_sparse(
+        spec, table, dict(slots), ids, grads, step, use_kernel=True
+    )
+    np.testing.assert_array_equal(np.asarray(t_ker), np.asarray(t_ref))
+
+
+def test_odd_vocab_falls_back():
+    """V with no power-of-two block divisor uses the scatter path."""
+    ids, grads, table = _problem(2, v=63)
+    spec = SPECS["adagrad"]
+    slots = sparse_optimizer.init_slots(spec, table)
+    step = jnp.asarray(0, jnp.int32)
+    t_ref, _ = sparse_optimizer.apply_sparse(
+        spec, table, dict(slots), ids, grads, step
+    )
+    t_ker, _ = sparse_optimizer.apply_sparse(
+        spec, table, dict(slots), ids, grads, step, use_kernel=True
+    )
+    np.testing.assert_array_equal(np.asarray(t_ker), np.asarray(t_ref))
+
+
+def _engine(sparse_update_kernel):
+    table = config_lib.TableConfig(
+        name="items", vocabulary_size=200, dim=8,
+        optimizer=config_lib.OptimizerSpec(
+            kind="adagrad", learning_rate=0.2
+        ),
+    )
+    feats = [config_lib.FeatureConfig(name="item_id", table=table)]
+    return engine_lib.EmbeddingEngine(
+        feats, sparse_update_kernel=sparse_update_kernel
+    )
+
+
+def test_engine_kernel_path_matches_scatter_path():
+    """Multi-step engine training: kernel and scatter paths agree."""
+    rng = np.random.RandomState(7)
+    batches = [
+        {"item_id": jnp.asarray(
+            rng.randint(0, 200, 32).astype(np.int32))}
+        for _ in range(3)
+    ]
+
+    def loss_of(acts):
+        return jnp.sum(jnp.square(acts["item_id"]))
+
+    finals = []
+    for flag in (False, True):
+        eng = _engine(flag)
+        state = eng.init(jax.random.PRNGKey(0))
+        for b in batches:
+            state, loss, _ = eng.grad_and_update(state, b, loss_of)
+        finals.append(state)
+    np.testing.assert_allclose(
+        np.asarray(finals[0].tables["items"]),
+        np.asarray(finals[1].tables["items"]),
+        rtol=1e-4,
+        atol=5e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(finals[0].slots["items"]["accumulator"]),
+        np.asarray(finals[1].slots["items"]["accumulator"]),
+        rtol=1e-4,
+        atol=5e-5,
+    )
