@@ -137,6 +137,10 @@ def main():
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--skip-exact-timing", action="store_true")
     p.add_argument("--skip-bucketed", action="store_true")
+    p.add_argument(
+        "--only", default=None,
+        help="Run only configs whose name contains this substring.",
+    )
     args = p.parse_args()
 
     import jax
@@ -194,13 +198,29 @@ def main():
             n * d * 4,
         )
 
+    def want(name):
+        return args.only is None or args.only in name
+
     if not args.skip_bucketed and d % 128 == 0:
-        print("bucketed...", file=sys.stderr)
-        bk = factorized_top_k.Bucketed(
-            k=k, buckets=4096, chunk=4096, query_tile=128,
-            corpus_dtype=jnp.bfloat16,
-        ).index(corpus)
-        bench("bucketed_bf16_4096", lambda q: bk(q, k), n * d * 2)
+        if want("bucketed_bf16_4096"):
+            print("bucketed...", file=sys.stderr)
+            bk = factorized_top_k.Bucketed(
+                k=k, buckets=4096, chunk=4096, query_tile=128,
+                corpus_dtype=jnp.bfloat16,
+            ).index(corpus)
+            bench("bucketed_bf16_4096", lambda q: bk(q, k), n * d * 2)
+            del bk
+        if want("bucketed_int4_4096"):
+            # int4 needs buckets | chunk/2 → chunk 8192 for B=4096; the
+            # halved corpus block keeps the VMEM budget at the bf16
+            # recipe's level.
+            print("bucketed int4...", file=sys.stderr)
+            bk4 = factorized_top_k.Bucketed(
+                k=k, buckets=4096, chunk=8192, query_tile=128,
+                quantize="int4",
+            ).index(corpus)
+            bench("bucketed_int4_4096", lambda q: bk4(q, k), n * d // 2)
+            del bk4
 
     leaves = max(64, 1 << int(np.log2(np.sqrt(n) * 2)))
     # (probes, reorder, storage, scoring_buckets, probe_tile):
@@ -219,19 +239,29 @@ def main():
         (leaves // 4, None, "int8", 4096, 64),
         (leaves // 4, None, "int8", 4096, 128),
         (leaves // 4, 4 * k, "int8+bf16reorder", 4096, 64),
+        (leaves // 8, None, "int4", 4096, 64),
+        (leaves // 4, None, "int4", 4096, 64),
+        (leaves // 4, 4 * k, "int4+bf16reorder", 4096, 64),
+        (leaves // 8, 4 * k, "int4+bf16reorder", None, 1),
     ):
         name = f"scann_L{leaves}_P{probes}_{storage}" + (
             f"_B{buckets}" if buckets else ""
         ) + (f"_T{tile}" if tile > 1 else "") + (
             f"_R{reorder}" if reorder else ""
         )
+        if not want(name):
+            continue
         print(f"{name}...", file=sys.stderr)
         t0 = time.time()
+        quantize = False
+        for q_kind in ("int8", "int4"):
+            if storage.startswith(q_kind):
+                quantize = q_kind
         index = approximate.ScaNN(
             k=k,
             num_leaves=leaves,
             num_leaves_to_search=probes,
-            quantize=storage.startswith("int8"),
+            quantize=quantize,
             leaf_dtype=(
                 jnp.bfloat16 if storage == "bf16" else jnp.float32
             ),
@@ -249,7 +279,9 @@ def main():
         index.index(corpus)  # jax.Array → device-resident build
         build_s = time.time() - t0
         print(f"  built on device in {build_s:.0f}s", file=sys.stderr)
-        bytes_per_row = d * (2 if storage == "bf16" else 1)
+        bytes_per_row = d * (
+            2 if storage == "bf16" else 0.5 if quantize == "int4" else 1
+        )
         bench(name, lambda q: index(q, k), int(n * 1.3) * bytes_per_row,
               build_s=build_s)
         # Release per-config leaf blocks before the next build.

@@ -431,19 +431,21 @@ def _search(
     leaf_valid: Array,
     num_probes: int,
     k: int,
-    quantized: bool,
+    quantized: Optional[str],
     dedup: bool = False,
 ) -> Tuple[Array, Array, Array]:
     """Probe top leaves, score their rows, top-k. Returns
     (scores, identifiers, global_rows). With `dedup` (SOAR indexes pack
     rows twice), duplicate global rows among the 2k best are removed
     before the final top-k — each duplicate pair carries identical
-    scores, so one survivor per row is exact."""
+    scores, so one survivor per row is exact. `quantized` is
+    None/"int8"/"int4" (int4 leaves are nibble-packed, `[L, cap/2, D]`)."""
     cscores = queries @ centroids.T  # [Q, L]
     _, probes = jax.lax.top_k(cscores, num_probes)  # [Q, P]
 
     q, d = queries.shape
-    cap = leaf_embs.shape[1]
+    packed4 = quantized == "int4"
+    cap_store = leaf_embs.shape[1]
     scales = leaf_scales if quantized else None
     # The Pallas kernel streams probed leaves HBM→VMEM and never
     # materializes the [Q, P, cap, D] gather (17 GB at the module
@@ -452,14 +454,14 @@ def _search(
     if (
         jax.default_backend() != "cpu"
         and d % 128 == 0
-        and cap % 128 == 0
+        and cap_store % 128 == 0
     ):
         scores = leaf_scoring.probed_leaf_scores(
-            queries, leaf_embs, scales, probes
+            queries, leaf_embs, scales, probes, packed4=packed4
         )
     else:
         scores = leaf_scoring.probed_scores_reference(
-            queries, leaf_embs, scales, probes
+            queries, leaf_embs, scales, probes, packed4=packed4
         )
     scores = jnp.where(
         leaf_valid[probes].reshape(q, -1), scores, MIN_FLOAT
@@ -516,7 +518,7 @@ def _search_bucketed(
     identifiers: Array,
     num_probes: int,
     k: int,
-    quantized: bool,
+    quantized: Optional[str],
     dedup: bool,
     buckets: int,
     tile: int,
@@ -572,19 +574,21 @@ def _search_bucketed(
     else:
         _, probes = jax.lax.top_k(cscores, num_probes)  # [Q, P]
     probes = probes.astype(jnp.int32)
+    packed4 = quantized == "int4"
     scales = leaf_scales if quantized else None
     # Effective fold width cannot exceed leaf capacity (a leaf with
     # cap < requested buckets folds slot c into bucket c directly).
-    buckets = min(buckets, leaf_embs.shape[1])
+    cap_logical = leaf_embs.shape[1] * (2 if packed4 else 1)
+    buckets = min(buckets, cap_logical)
     if jax.default_backend() != "cpu" and d % 128 == 0:
         vals, rows = leaf_scoring.probed_bucketed_scores(
             queries, leaf_embs, scales, leaf_rows, probes, buckets,
-            query_tile=tile,
+            query_tile=tile, packed4=packed4,
         )
     else:
         vals, rows = leaf_scoring.probed_bucketed_reference(
             queries, leaf_embs, scales, leaf_rows, probes, buckets,
-            query_tile=tile,
+            query_tile=tile, packed4=packed4,
         )
     if inv is not None:
         vals = vals[inv]
@@ -638,7 +642,17 @@ class ScaNN(factorized_top_k.TopK):
       num_leaves: Partitions in the k-means tree.
       num_leaves_to_search: Leaves probed per query.
       training_iterations: Lloyd iterations at index build.
-      quantize: Store leaves as int8 with per-row scales.
+      quantize: `False`, `"int8"` (or `True`), or `"int4"`. Integer
+        leaf storage with per-row scales. `"int4"` packs two 4-bit
+        codes per byte (`ops/quantization.pack_nibbles`) — the
+        TPU-native counterpart of ScaNN's 4-bit asymmetric-hashing
+        scan (`score_ah(2)`, where the reference's
+        `dimensions_per_block=2` also spends 4 bits per 2 dims): 8×
+        less probe-scan HBM traffic than f32, 2× less than int8. int4
+        quantization error is large (~11% per-coordinate RMS), so pair
+        it with `num_reordering_candidates` — the int4-scan → exact
+        (bf16) reorder cascade is ScaNN's production recipe and
+        recovers recall to near the reorder dtype's level.
       leaf_dtype: Storage dtype of unquantized leaves (float32 or
         bfloat16). bf16 leaves halve the probe-scan HBM traffic with
         ~3 decimal digits of score precision — between f32 and int8 on
@@ -703,7 +717,7 @@ class ScaNN(factorized_top_k.TopK):
         num_leaves: int = 100,
         num_leaves_to_search: int = 10,
         training_iterations: int = 10,
-        quantize: bool = False,
+        quantize=False,
         leaf_dtype=jnp.float32,
         reorder_dtype=jnp.float32,
         anisotropic_quantization_threshold: Optional[float] = 0.2,
@@ -723,6 +737,12 @@ class ScaNN(factorized_top_k.TopK):
         self._num_leaves = num_leaves
         self._num_probes = min(num_leaves_to_search, num_leaves)
         self._iterations = training_iterations
+        quantize = {True: "int8", False: None}.get(quantize, quantize)
+        if quantize not in (None, "int8", "int4"):
+            raise ValueError(
+                f"quantize must be False, True, 'int8' or 'int4'; got "
+                f"{quantize!r}"
+            )
         self._quantize = quantize
         self._leaf_dtype = jnp.dtype(leaf_dtype)
         self._reorder_dtype = jnp.dtype(reorder_dtype)
@@ -776,7 +796,9 @@ class ScaNN(factorized_top_k.TopK):
         # tiling grid. The bucketed kernel folds any 128-aligned
         # capacity (partial tail group), so no bucket-grain padding —
         # that would inflate scan traffic by up to scoring_buckets/cap.
-        grain = 128
+        # int4 packs slot pairs (s, s + cap/2) per byte, so the packed
+        # half-capacity must itself sit on the 128 grid → grain 256.
+        grain = 256 if self._quantize == "int4" else 128
         if self._leaf_capacity is not None:
             if num_leaves * self._leaf_capacity < rows:
                 raise ValueError(
@@ -835,10 +857,14 @@ class ScaNN(factorized_top_k.TopK):
         self._leaf_rows = jnp.asarray(rows)
         self._leaf_valid = jnp.asarray(valid)
         if self._quantize:
+            bits = 4 if self._quantize == "int4" else 8
             scales, q = _quantize_rows(
-                embs, self._anisotropic_threshold
+                embs, self._anisotropic_threshold, bits=bits
             )
-            self._leaf_embs = jnp.asarray(q)
+            codes = jnp.asarray(q)
+            if bits == 4:
+                codes = quantization.pack_nibbles(codes)
+            self._leaf_embs = codes
             self._leaf_scales = jnp.asarray(scales.astype(np.float32))
         else:
             self._leaf_embs = jnp.asarray(embs).astype(self._leaf_dtype)
@@ -934,12 +960,16 @@ class ScaNN(factorized_top_k.TopK):
             # Per-row quantization is leaf-independent: quantize the
             # flat corpus, then scatter int8 codes — the [L, cap, D]
             # float intermediate never exists.
+            bits = 4 if self._quantize == "int4" else 8
             scales, codes = _quantize_rows_device(
-                candidates, self._anisotropic_threshold
+                candidates, self._anisotropic_threshold, bits=bits
             )
-            self._leaf_embs = _scatter_leaves(
+            leaf_codes = _scatter_leaves(
                 dup(codes), leaf_of, slot_of, num_leaves, capacity
             )
+            if bits == 4:
+                leaf_codes = quantization.pack_nibbles(leaf_codes)
+            self._leaf_embs = leaf_codes
             self._leaf_scales = _scatter_leaves(
                 dup(scales), leaf_of, slot_of, num_leaves, capacity
             )

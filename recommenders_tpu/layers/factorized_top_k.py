@@ -364,14 +364,19 @@ class Bucketed(TopK):
         16 MB-VMEM core it makes `buckets=4096, chunk=4096,
         query_tile=128` fit (measured recall@100 ≈ 0.989 on a 1M corpus,
         vs ≈ 0.976 for the f32 default at 2048 buckets).
-      quantize: Store the corpus as int8 codes with per-row f32 scales
-        (`ops/quantization.py`) dequantized in-kernel — 4× less HBM
-        sweep traffic than f32 (2× less than bf16); recall becomes
-        quantization-limited like the ScaNN layer's. Mutually exclusive
-        with `corpus_dtype`.
+      quantize: `False`, `"int8"` (or `True`), or `"int4"`. Stores the
+        corpus as integer codes with per-row f32 scales
+        (`ops/quantization.py`) dequantized in-kernel — int8 sweeps 4×
+        less HBM than f32 (2× less than bf16); int4 packs two codes
+        per byte (`pack_nibbles`) for an 8× reduction and decodes with
+        two bitwise ops per nibble in VMEM. Recall becomes
+        quantization-limited like the ScaNN layer's (int4 noticeably
+        so — pair it with reordering via the `ScaNN` layer when
+        recall@100 ≳ 0.95 matters). Mutually exclusive with
+        `corpus_dtype`. int4 requires `buckets` to divide `chunk/2`.
       anisotropic_quantization_threshold: Score-aware scale refinement
-        for `quantize=True` (ScaNN's dial of the same name); None uses
-        abs-max scaling.
+        for quantized indexes (ScaNN's dial of the same name); None
+        uses abs-max scaling.
     """
 
     def __init__(
@@ -382,14 +387,25 @@ class Bucketed(TopK):
         chunk: int = 2048,
         query_tile: int = 256,
         corpus_dtype=None,
-        quantize: bool = False,
+        quantize=False,
         anisotropic_quantization_threshold: Optional[float] = 0.2,
     ) -> None:
         super().__init__(k=k)
+        quantize = {True: "int8", False: None}.get(quantize, quantize)
+        if quantize not in (None, "int8", "int4"):
+            raise ValueError(
+                f"quantize must be False, True, 'int8' or 'int4'; got "
+                f"{quantize!r}"
+            )
         if quantize and corpus_dtype is not None:
             raise ValueError(
-                "quantize=True stores int8 codes; corpus_dtype must be "
+                "quantize stores integer codes; corpus_dtype must be "
                 "None."
+            )
+        if quantize == "int4" and (chunk // 2) % buckets != 0:
+            raise ValueError(
+                f"quantize='int4' needs buckets ({buckets}) to divide "
+                f"chunk/2 ({chunk // 2})."
             )
         self.query_fn = query_fn
         self._buckets = buckets
@@ -430,12 +446,24 @@ class Bucketed(TopK):
                     f"same number of rows (got {self._num_candidates} and "
                     f"{identifiers.shape[0]})."
                 )
-        if self._quantize:
+        if self._quantize == "int8":
             from recommenders_tpu.ops import quantization
 
             self._scales, candidates = quantization.quantize_rows_device(
                 candidates, self._anisotropic_threshold
             )
+        elif self._quantize == "int4":
+            from recommenders_tpu.ops import quantization, scoring
+
+            # Pad to the chunk grid BEFORE packing: nibble pairing is
+            # row c ↔ row c + padded_n/2, so the stride must be baked
+            # in at index time (padded rows are masked in-kernel via
+            # valid_rows).
+            padded = scoring.pad_to_multiple(candidates, self._chunk)
+            self._scales, codes = quantization.quantize_rows_device(
+                padded, self._anisotropic_threshold, bits=4
+            )
+            candidates = quantization.pack_nibbles(codes)
         elif self._corpus_dtype is not None:
             candidates = candidates.astype(self._corpus_dtype)
         self._candidates = candidates
@@ -458,6 +486,7 @@ class Bucketed(TopK):
         k = min(k, self._num_candidates)
         if self._corpus_dtype is not None:
             queries = queries.astype(self._corpus_dtype)
+        packed4 = self._quantize == "int4"
         if jax.default_backend() == "cpu":
             scores, rows = scoring.bucketed_top_k_reference(
                 queries.astype(jnp.float32),
@@ -467,6 +496,8 @@ class Bucketed(TopK):
                 k,
                 buckets=self._buckets,
                 scales=self._scales,
+                packed4=packed4,
+                valid_rows=self._num_candidates if packed4 else None,
             )
         else:
             scores, rows = scoring.bucketed_top_k(
@@ -477,6 +508,8 @@ class Bucketed(TopK):
                 chunk=self._chunk,
                 query_tile=self._query_tile,
                 scales=self._scales,
+                packed4=packed4,
+                valid_rows=self._num_candidates if packed4 else None,
             )
         if self._identifiers is not None:
             return scores, jnp.take(self._identifiers, rows)

@@ -74,22 +74,50 @@ def _kernel_quantized(probes_ref, q_ref, leaf_ref, scale_ref, out_ref):
     out_ref[0] = scores * scale_ref[0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _decode_nibbles_scores(q, packed):
+    """Shared int4 decode+score: `packed` `[cap/2, D]` int8 holding two
+    4-bit codes per byte (`ops/quantization.pack_nibbles`: slot `s` in
+    the low nibble, slot `s + cap/2` in the high one). Sign-extend each
+    nibble in int32 (two bitwise ops), run one MXU dot per half, and
+    concatenate along lanes — natural slot order, no interleave."""
+    p = packed.astype(jnp.int32)
+    lo = ((p << 28) >> 28).astype(jnp.float32)
+    hi = (p >> 4).astype(jnp.float32)
+    dims = (((1,), (1,)), ((), ()))
+    s_lo = jax.lax.dot_general(
+        q, lo, dimension_numbers=dims, preferred_element_type=jnp.float32
+    )
+    s_hi = jax.lax.dot_general(
+        q, hi, dimension_numbers=dims, preferred_element_type=jnp.float32
+    )
+    return jnp.concatenate([s_lo, s_hi], axis=1)  # [tq, cap]
+
+
+def _kernel_quantized4(probes_ref, q_ref, leaf_ref, scale_ref, out_ref):
+    scores = _decode_nibbles_scores(q_ref[0], leaf_ref[0])  # [1, cap]
+    out_ref[0] = scores * scale_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "packed4"))
 def probed_leaf_scores(
     queries: Array,
     leaf_embs: Array,
     leaf_scales: Optional[Array],
     probes: Array,
     interpret: bool = False,
+    packed4: bool = False,
 ) -> Array:
     """Scores each query against its probed leaves' rows.
 
     Args:
       queries: `[Q, D]` f32 (D a multiple of 128).
-      leaf_embs: `[L, cap, D]` f32/bf16 or int8 (cap a multiple of 128).
+      leaf_embs: `[L, cap, D]` f32/bf16 or int8 (cap a multiple of 128),
+        or — with `packed4` — `[L, cap/2, D]` int8 nibble-packed codes
+        (`pack_nibbles` per leaf; cap/2 a multiple of 128).
       leaf_scales: `[L, cap]` f32 per-row dequantization scales, or None.
       probes: `[Q, P]` int32 leaf ids probed per query.
       interpret: Run the kernel interpreted (tests on CPU).
+      packed4: Leaves hold two 4-bit codes per byte.
 
     Returns:
       `[Q, P·cap]` f32 scores, laid out probe-major (probe p's rows at
@@ -98,25 +126,33 @@ def probed_leaf_scores(
     """
     qn, d = queries.shape
     num_leaves, cap, d2 = leaf_embs.shape
+    if packed4:
+        cap = cap * 2
     assert d == d2, (d, d2)
-    if d % _LANES or cap % _LANES:
+    if d % _LANES or (cap // (2 if packed4 else 1)) % _LANES:
         raise ValueError(
-            f"probed_leaf_scores needs dim and leaf capacity to be "
-            f"multiples of {_LANES}; got dim={d}, cap={cap}. Use "
-            f"probed_scores_reference instead."
+            f"probed_leaf_scores needs dim and leaf capacity (cap/2 "
+            f"when packed4) to be multiples of {_LANES}; got dim={d}, "
+            f"cap={cap}. Use probed_scores_reference instead."
         )
     num_probes = probes.shape[1]
     grid = (qn, num_probes)
 
     quantized = leaf_scales is not None
-    kernel = _kernel_quantized if quantized else _kernel_f32
+    if packed4 and not quantized:
+        raise ValueError("packed4 requires per-row scales")
+    if packed4:
+        kernel = _kernel_quantized4
+    else:
+        kernel = _kernel_quantized if quantized else _kernel_f32
     # Mosaic requires the last two block dims to be (8k, 128k) or equal
     # to the array dims; singleton middle axes make the size-1 blocks
     # legal ([Q, 1, D] block (1, 1, D) etc.).
+    leaf_block = cap // 2 if packed4 else cap
     in_specs = [
         pl.BlockSpec((1, 1, d), lambda q, p, probes_ref: (q, 0, 0)),
         pl.BlockSpec(
-            (1, cap, d),
+            (1, leaf_block, d),
             lambda q, p, probes_ref: (probes_ref[q, p], 0, 0),
         ),
     ]
@@ -146,7 +182,8 @@ def probed_leaf_scores(
         cost_estimate=pl.CostEstimate(
             flops=2 * qn * num_probes * cap * d,
             bytes_accessed=(
-                qn * num_probes * cap * d * leaf_embs.dtype.itemsize
+                qn * num_probes * leaf_block * d
+                * leaf_embs.dtype.itemsize
                 + qn * d * 4
                 + qn * num_probes * cap * 4
             ),
@@ -242,8 +279,27 @@ def _kernel_bucketed_quantized(
         out_rows[0] = run_rows[:]
 
 
+def _kernel_bucketed_quantized4(
+    probes_ref, q_ref, leaf_ref, rows_ref, scale_ref, out_vals, out_rows,
+    run_vals, run_rows, *, buckets: int, num_probes: int,
+):
+    """Nibble-packed int4 leaves: decode lo/hi halves, score each on
+    the MXU, lane-concat back to natural slot order (see
+    `_decode_nibbles_scores`), then the shared bucket fold."""
+    scores = _decode_nibbles_scores(q_ref[0], leaf_ref[0]) * scale_ref[0]
+    _fold_buckets(
+        scores, rows_ref[0], run_vals, run_rows, buckets, num_probes
+    )
+
+    @pl.when(pl.program_id(1) == num_probes - 1)
+    def _():
+        out_vals[0] = run_vals[:]
+        out_rows[0] = run_rows[:]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("buckets", "query_tile", "interpret")
+    jax.jit,
+    static_argnames=("buckets", "query_tile", "interpret", "packed4"),
 )
 def probed_bucketed_scores(
     queries: Array,
@@ -254,6 +310,7 @@ def probed_bucketed_scores(
     buckets: int,
     query_tile: int = 8,
     interpret: bool = False,
+    packed4: bool = False,
 ) -> tuple:
     """Scores probed leaves with in-kernel per-bucket argmax reduction.
 
@@ -274,13 +331,15 @@ def probed_bucketed_scores(
       queries: `[Q, D]` f32, `Q` a multiple of `query_tile`.
       leaf_embs: `[L, cap, D]` f32/bf16 or int8 (`cap % 128 == 0`; a
         partial tail group folds into the leading buckets, so cap need
-        NOT be a bucket multiple).
+        NOT be a bucket multiple), or — with `packed4` —
+        `[L, cap/2, D]` int8 nibble-packed codes (cap/2 % 128 == 0).
       leaf_scales: `[L, cap]` f32 per-row dequant scales, or None.
       leaf_rows: `[L, cap]` int32 global row per slot, -1 for padding.
       probes: `[Q // query_tile, P]` int32 leaf ids per tile.
       buckets: Reduction width `B` (multiple of 128, ≤ cap).
       query_tile: Queries per probe tile.
       interpret: Run interpreted (tests on CPU).
+      packed4: Leaves hold two 4-bit codes per byte.
 
     Returns:
       `([Q, B] f32 scores, [Q, B] int32 global rows)`; empty buckets
@@ -288,6 +347,8 @@ def probed_bucketed_scores(
     """
     qn, d = queries.shape
     num_leaves, cap, d2 = leaf_embs.shape
+    if packed4:
+        cap = cap * 2
     assert d == d2, (d, d2)
     tiles, num_probes = probes.shape
     tq = query_tile
@@ -296,24 +357,35 @@ def probed_bucketed_scores(
             f"queries rows ({qn}) must equal tiles ({tiles}) × "
             f"query_tile ({tq})."
         )
-    if d % _LANES or buckets % _LANES or cap % _LANES or buckets > cap:
+    half_grain = cap // (2 if packed4 else 1)
+    if d % _LANES or buckets % _LANES or half_grain % _LANES \
+            or buckets > cap:
         raise ValueError(
-            f"needs dim, buckets and cap % {_LANES} == 0 and "
-            f"buckets <= cap; got dim={d}, buckets={buckets}, "
-            f"cap={cap}."
+            f"needs dim, buckets and cap (cap/2 when packed4) "
+            f"% {_LANES} == 0 and buckets <= cap; got dim={d}, "
+            f"buckets={buckets}, cap={cap}."
         )
     grid = (tiles, num_probes)
 
     quantized = leaf_scales is not None
+    if packed4 and not quantized:
+        raise ValueError("packed4 requires per-row scales")
+    if packed4:
+        base_kernel = _kernel_bucketed_quantized4
+    elif quantized:
+        base_kernel = _kernel_bucketed_quantized
+    else:
+        base_kernel = _kernel_bucketed_f32
     kernel = functools.partial(
-        _kernel_bucketed_quantized if quantized else _kernel_bucketed_f32,
+        base_kernel,
         buckets=buckets,
         num_probes=num_probes,
     )
+    leaf_block = cap // 2 if packed4 else cap
     in_specs = [
         pl.BlockSpec((1, tq, d), lambda i, p, probes_ref: (i, 0, 0)),
         pl.BlockSpec(
-            (1, cap, d),
+            (1, leaf_block, d),
             lambda i, p, probes_ref: (probes_ref[i, p], 0, 0),
         ),
         pl.BlockSpec(
@@ -361,8 +433,9 @@ def probed_bucketed_scores(
         cost_estimate=pl.CostEstimate(
             flops=2 * tiles * num_probes * tq * cap * d,
             bytes_accessed=(
-                tiles * num_probes * cap
-                * (d * leaf_embs.dtype.itemsize + 4 + (4 if quantized else 0))
+                tiles * num_probes
+                * (leaf_block * d * leaf_embs.dtype.itemsize
+                   + cap * (4 + (4 if quantized else 0)))
                 + qn * d * 4
                 + 2 * qn * buckets * 4
             ),
@@ -381,8 +454,13 @@ def probed_bucketed_reference(
     probes: Array,
     buckets: int,
     query_tile: int = 1,
+    packed4: bool = False,
 ) -> tuple:
     """Pure-jnp oracle for `probed_bucketed_scores` (any backend)."""
+    if packed4:
+        from recommenders_tpu.ops import quantization
+
+        leaf_embs = quantization.unpack_nibbles(leaf_embs)
     qn, d = queries.shape
     tiles, num_probes = probes.shape
     tq = query_tile
@@ -428,12 +506,17 @@ def probed_scores_reference(
     leaf_embs: Array,
     leaf_scales: Optional[Array],
     probes: Array,
+    packed4: bool = False,
 ) -> Array:
     """Pure-jnp oracle (the original gather formulation; any backend).
 
     Materializes the `[Q, P, cap, D]` gather — fine for tests and small
     CPU corpora, the exact thing the kernel exists to avoid at scale.
     """
+    if packed4:
+        from recommenders_tpu.ops import quantization
+
+        leaf_embs = quantization.unpack_nibbles(leaf_embs)
     embs = leaf_embs[probes]  # [Q, P, cap, D]
     if leaf_scales is not None:
         embs = embs.astype(jnp.float32) * leaf_scales[probes][..., None]

@@ -128,7 +128,12 @@ def export_index(
         raise ValueError("The index must be built (`index(...)`) first.")
     identifiers = getattr(index, "_identifiers", None)
     if identifiers is None:
-        identifiers = np.arange(candidates.shape[0], dtype=np.int32)
+        # Logical row count, NOT the stored array's leading dim: an int4
+        # Bucketed corpus is nibble-packed ([n/2, D]) and may be padded.
+        logical = getattr(index, "_num_candidates", None)
+        if logical is None:
+            logical = candidates.shape[0]
+        identifiers = np.arange(logical, dtype=np.int32)
 
     if isinstance(index, factorized_top_k.BruteForce):
         # BruteForce stores a padded corpus + validity mask; bake the mask
@@ -299,6 +304,8 @@ def _query_for(index):
         buckets, chunk = index._buckets, index._chunk
         query_tile = index._query_tile
         corpus_dtype = index._corpus_dtype
+        packed4 = index._quantize == "int4"
+        valid_rows = index._num_candidates if packed4 else None
 
         def bucketed(queries, candidates, k, scales=None):
             # Bake the index's full serving config into the export: the
@@ -314,11 +321,12 @@ def _query_for(index):
             if jax.default_backend() == "cpu":
                 return scoring.bucketed_top_k_reference(
                     queries, candidates, k, buckets=buckets,
-                    scales=scales,
+                    scales=scales, packed4=packed4, valid_rows=valid_rows,
                 )
             return scoring.bucketed_top_k(
                 queries, candidates, k, buckets=buckets, chunk=chunk,
-                query_tile=query_tile, scales=scales,
+                query_tile=query_tile, scales=scales, packed4=packed4,
+                valid_rows=valid_rows,
             )
 
         return bucketed

@@ -304,3 +304,52 @@ def test_scann_bucketed_tile_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(scores), np.asarray(expected_scores), rtol=1e-4
     )
+
+
+def test_bucketed_int4_index_roundtrip(tmp_path):
+    queries, corpus = _data(1000, 128, 8, seed=33)
+    index = factorized_top_k.Bucketed(
+        k=10, buckets=256, chunk=512, quantize="int4"
+    ).index(corpus)
+    expected_scores, expected_ids = index(queries)
+
+    path = str(tmp_path / "bk4")
+    export_lib.export_index(path, index, queries, k=10)
+    data = np.load(str(tmp_path / "bk4" / "arrays.npz"))
+    # Packed: padded 1024 rows -> 512 stored bytes per dim column.
+    assert data["candidates"].dtype == np.int8
+    assert data["candidates"].shape[0] == 512
+    assert data["scales"].shape[0] == 1024
+    served = export_lib.load_index(path)
+    scores, ids = served(queries)
+    np.testing.assert_array_equal(
+        np.asarray(ids), np.asarray(expected_ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(expected_scores), rtol=1e-5
+    )
+
+
+def test_scann_int4_reorder_roundtrip(tmp_path):
+    from recommenders_tpu.layers import approximate
+
+    queries, corpus = _data(2000, 128, 8, seed=34)
+    index = approximate.ScaNN(
+        k=10, num_leaves=16, num_leaves_to_search=8, quantize="int4",
+        num_reordering_candidates=50,
+    )
+    index.index(corpus)
+    expected_scores, expected_ids = index(queries)
+
+    path = str(tmp_path / "scann4")
+    export_lib.export_index(path, index, queries, k=10)
+    data = np.load(str(tmp_path / "scann4" / "arrays.npz"))
+    assert data["leaf_embs"].dtype == np.int8
+    assert data["leaf_scales"].shape[1] == data["leaf_embs"].shape[1] * 2
+    scores, ids = export_lib.load_index(path)(queries)
+    np.testing.assert_array_equal(
+        np.asarray(ids), np.asarray(expected_ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(expected_scores), rtol=1e-4
+    )

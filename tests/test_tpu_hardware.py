@@ -255,3 +255,59 @@ def test_bucketed_leaf_scoring_kernel_compiled_on_chip():
         assert agree >= 0.99, f"quantized row agreement {agree}"
         print("bucketed leaf kernel compiled ok")
     """)
+
+def test_packed4_kernels_compiled_on_chip():
+    """int4 (nibble-packed) variants of all three scan kernels lower
+    through Mosaic and match their jnp oracles on the same backend."""
+    _run_on_tpu("""
+        import sys; sys.path.insert(0, ".")
+        import numpy as np, jax, jax.numpy as jnp
+        from recommenders_tpu.ops import leaf_scoring, quantization, scoring
+        rng = np.random.RandomState(11)
+
+        # 1. Full-scan bucketed sweep.
+        q = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+        c = jnp.asarray(rng.normal(size=(4096, 128)).astype(np.float32))
+        scales, codes = quantization.quantize_rows_device(c, 0.2, bits=4)
+        packed = quantization.pack_nibbles(codes)
+        vals, ids = scoring.bucketed_top_k(
+            q, packed, k=10, buckets=1024, chunk=2048, scales=scales,
+            packed4=True, valid_rows=4096)
+        rv, ri = scoring.bucketed_top_k_reference(
+            q, packed, k=10, buckets=1024, scales=scales, packed4=True,
+            valid_rows=4096)
+        agree = float((np.asarray(ids) == np.asarray(ri)).mean())
+        assert agree >= 0.99, f"bucketed packed4 agreement {agree}"
+
+        # 2. Probed leaf scoring.
+        embs = rng.normal(size=(8, 256, 128)).astype(np.float32)
+        ls, lc = quantization.quantize_rows_device(
+            jnp.asarray(embs).reshape(-1, 128), None, bits=4)
+        ls = ls.reshape(8, 256)
+        lp = quantization.pack_nibbles(lc.reshape(8, 256, 128))
+        probes = jnp.asarray(rng.randint(0, 8, size=(16, 3)), jnp.int32)
+        qq = jnp.asarray(rng.normal(size=(16, 128)).astype(np.float32))
+        got = leaf_scoring.probed_leaf_scores(
+            qq, lp, ls, probes, packed4=True)
+        want = leaf_scoring.probed_scores_reference(
+            qq, lp, ls, probes, packed4=True)
+        # MXU vs XLA dot precision differ; compare relative to the
+        # score magnitude, not absolutely.
+        err = float(jnp.abs(got - want).max())
+        scale = float(jnp.abs(want).max()) + 1e-6
+        assert err / scale < 1e-2, f"leaf packed4 rel err {err / scale}"
+
+        # 3. Bucketed (in-kernel argmax) leaf scoring.
+        rows = rng.permutation(8 * 256).astype(np.int32).reshape(8, 256)
+        rows[:, -5:] = -1
+        tprobes = jnp.asarray(rng.randint(0, 8, size=(2, 4)), jnp.int32)
+        vk, rk = leaf_scoring.probed_bucketed_scores(
+            qq, lp, ls, jnp.asarray(rows), tprobes, buckets=128,
+            query_tile=8, packed4=True)
+        vr, rr = leaf_scoring.probed_bucketed_reference(
+            qq, lp, ls, jnp.asarray(rows), tprobes, buckets=128,
+            query_tile=8, packed4=True)
+        agree2 = float((np.asarray(rk) == np.asarray(rr)).mean())
+        assert agree2 >= 0.99, f"bucketed-leaf packed4 agreement {agree2}"
+        print("packed4 kernels ok", agree, err, agree2)
+    """)
