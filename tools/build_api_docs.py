@@ -12,6 +12,7 @@ import argparse
 import importlib
 import inspect
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -59,9 +60,12 @@ MODULES = [
 
 def _signature(obj) -> str:
     try:
-        return str(inspect.signature(obj))
+        sig = str(inspect.signature(obj))
     except (ValueError, TypeError):
         return "(...)"
+    # Default values whose repr embeds a memory address (flax's module
+    # sentinel) would churn the generated files on every run.
+    return re.sub(r"<([\w.]+) object at 0x[0-9a-f]+>", r"<\1>", sig)
 
 
 def render_module(module_name: str) -> str:
