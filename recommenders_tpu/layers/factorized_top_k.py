@@ -342,6 +342,30 @@ class Streaming(TopK):
         return True
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_rows(buf: Array, block: Array, off) -> Array:
+    """Writes `block` into `buf` at row `off` (donated, in-place)."""
+    return jax.lax.dynamic_update_slice(buf, block, (off, 0))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+def _or_nibble(buf: Array, codes: Array, off, high: bool) -> Array:
+    """ORs int4 `codes` into `buf` rows at `off`, as the high or low
+    nibble (`ops/quantization.pack_nibbles` byte layout). Each (row,
+    nibble) must be written at most once over a zero buffer."""
+    cur = jax.lax.dynamic_slice(
+        buf, (off, 0), (codes.shape[0], buf.shape[1])
+    )
+    lo, hi = codes.astype(jnp.int32), cur.astype(jnp.int32)
+    if high:
+        merged = (hi & 255) | (lo << 4)
+    else:
+        merged = hi | (lo & 15)
+    return jax.lax.dynamic_update_slice(
+        buf, merged.astype(jnp.int8), (off, 0)
+    )
+
+
 class Bucketed(TopK):
     """High-throughput serving index on the fused Pallas scoring kernel.
 
@@ -467,6 +491,113 @@ class Bucketed(TopK):
         elif self._corpus_dtype is not None:
             candidates = candidates.astype(self._corpus_dtype)
         self._candidates = candidates
+        self._identifiers = identifiers
+        return self
+
+    def index_streamed(
+        self,
+        batches,
+        num_rows: int,
+        identifiers: Optional[Array] = None,
+    ) -> "Bucketed":
+        """Builds the index from row batches without ever materializing
+        the full-precision corpus on device.
+
+        The streaming counterpart of `index_from_dataset` (reference
+        `layers/factorized_top_k.py:179-215` concatenates on host): each
+        batch is cast/quantized on device and written into the
+        preallocated storage buffer, so peak device memory is the
+        *stored* corpus plus one batch — with `quantize="int4"` a
+        100M×128 corpus builds in ~6.4 GB where its f32 form (51 GB)
+        could never exist on a single chip.
+
+        Args:
+          batches: Iterable (or zero-arg callable returning one) of
+            `[b, D]` row blocks, in corpus order. Uniform batch sizes
+            avoid per-shape recompiles of the write step.
+          num_rows: Total corpus rows (must match the sum of batches).
+          identifiers: Optional `[num_rows]` identifier array.
+        """
+        from recommenders_tpu.ops import quantization, scoring
+
+        it = iter(batches() if callable(batches) else batches)
+        if identifiers is not None:
+            identifiers = jnp.asarray(identifiers)
+            if identifiers.shape[0] != num_rows:
+                raise ValueError(
+                    f"identifiers rows ({identifiers.shape[0]}) != "
+                    f"num_rows ({num_rows})."
+                )
+        packed4 = self._quantize == "int4"
+        # int4 bakes chunk padding in at build time (pairing stride);
+        # other modes store exactly num_rows like `index`.
+        stored_n = (
+            scoring._round_up(num_rows, self._chunk)
+            if packed4 else num_rows
+        )
+        buf = scales = None
+        off = 0
+        for batch in it:
+            batch = jnp.asarray(batch)
+            if batch.ndim != 2:
+                raise ValueError(
+                    f"Batches must be 2D row blocks (got {batch.shape})."
+                )
+            b, d = batch.shape
+            if buf is None:
+                if d % 128 != 0:
+                    raise ValueError(
+                        "Bucketed requires the embedding dim to be a "
+                        f"multiple of 128; got {d}."
+                    )
+                if self._quantize:
+                    code_rows = stored_n // 2 if packed4 else stored_n
+                    buf = jnp.zeros((code_rows, d), jnp.int8)
+                    scales = jnp.zeros((stored_n,), jnp.float32)
+                else:
+                    dtype = self._corpus_dtype or jnp.float32
+                    buf = jnp.zeros((stored_n, d), dtype)
+            if off + b > num_rows:
+                raise ValueError(
+                    f"Batches supply more than num_rows={num_rows} rows."
+                )
+            if self._quantize:
+                bits = 4 if packed4 else 8
+                s, codes = quantization.quantize_rows_device(
+                    batch, self._anisotropic_threshold, bits=bits
+                )
+                scales = jax.lax.dynamic_update_slice(scales, s, (off,))
+                if packed4:
+                    half = stored_n // 2
+                    # Row r lands in packed row r % half, low nibble for
+                    # r < half, high nibble otherwise (`pack_nibbles`
+                    # layout). A batch straddling the half boundary
+                    # splits; each (row, nibble) is written once, so
+                    # OR-ing into the zero-initialized buffer is exact.
+                    cut = int(np.clip(half - off, 0, b))
+                    if cut:
+                        buf = _or_nibble(buf, codes[:cut], off, False)
+                    if b - cut:
+                        buf = _or_nibble(
+                            buf, codes[cut:], off + cut - half, True
+                        )
+                else:
+                    buf = _write_rows(buf, codes, off)
+            else:
+                buf = _write_rows(
+                    buf, batch.astype(buf.dtype), off
+                )
+            off += b
+        if buf is None:
+            raise ValueError("The batches iterable must not be empty.")
+        if off != num_rows:
+            raise ValueError(
+                f"Batches supplied {off} rows, expected num_rows="
+                f"{num_rows}."
+            )
+        self._num_candidates = num_rows
+        self._candidates = buf
+        self._scales = scales
         self._identifiers = identifiers
         return self
 

@@ -64,9 +64,12 @@ def _kernel_f32(probes_ref, q_ref, leaf_ref, out_ref):
 
 
 def _kernel_quantized(probes_ref, q_ref, leaf_ref, scale_ref, out_ref):
-    e = leaf_ref[0].astype(jnp.float32)  # [cap, D] int8 → f32 in VMEM.
+    # int8 → bf16 in VMEM: codes are exact in bf16 and the MXU runs at
+    # full bf16 rate (f32 dots decompose into multiple passes); only the
+    # query rounds, far below the int8 quantization error.
+    e = leaf_ref[0].astype(jnp.bfloat16)  # [cap, D]
     scores = jax.lax.dot_general(
-        q_ref[0],
+        q_ref[0].astype(jnp.bfloat16),
         e,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -78,17 +81,20 @@ def _decode_nibbles_scores(q, packed):
     """Shared int4 decode+score: `packed` `[cap/2, D]` int8 holding two
     4-bit codes per byte (`ops/quantization.pack_nibbles`: slot `s` in
     the low nibble, slot `s + cap/2` in the high one). Sign-extend each
-    nibble in int32 (two bitwise ops), run one MXU dot per half, and
-    concatenate along lanes — natural slot order, no interleave."""
+    nibble in int32 (two bitwise ops), run one bf16 MXU dot per half
+    (int4 codes are exact in bf16; queries round by ≤ 2^-8 relative,
+    far below the int4 quantization error), and concatenate along
+    lanes — natural slot order, no interleave."""
     p = packed.astype(jnp.int32)
-    lo = ((p << 28) >> 28).astype(jnp.float32)
-    hi = (p >> 4).astype(jnp.float32)
+    lo = ((p << 28) >> 28).astype(jnp.bfloat16)
+    hi = (p >> 4).astype(jnp.bfloat16)
+    qb = q.astype(jnp.bfloat16)
     dims = (((1,), (1,)), ((), ()))
     s_lo = jax.lax.dot_general(
-        q, lo, dimension_numbers=dims, preferred_element_type=jnp.float32
+        qb, lo, dimension_numbers=dims, preferred_element_type=jnp.float32
     )
     s_hi = jax.lax.dot_general(
-        q, hi, dimension_numbers=dims, preferred_element_type=jnp.float32
+        qb, hi, dimension_numbers=dims, preferred_element_type=jnp.float32
     )
     return jnp.concatenate([s_lo, s_hi], axis=1)  # [tq, cap]
 
@@ -264,8 +270,8 @@ def _kernel_bucketed_quantized(
     run_vals, run_rows, *, buckets: int, num_probes: int,
 ):
     scores = jax.lax.dot_general(
-        q_ref[0],
-        leaf_ref[0].astype(jnp.float32),    # int8 → f32 in VMEM
+        q_ref[0].astype(jnp.bfloat16),
+        leaf_ref[0].astype(jnp.bfloat16),   # int8 exact in bf16
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale_ref[0]                        # [tq, cap] · [1, cap]
@@ -466,14 +472,21 @@ def probed_bucketed_reference(
     tq = query_tile
     cap = leaf_embs.shape[1]
     embs = leaf_embs[probes]  # [T, P, cap, D]
+    qt = queries.reshape(tiles, tq, d)
     if leaf_scales is not None:
-        embs = embs.astype(jnp.float32) * leaf_scales[probes][..., None]
-    scores = jnp.einsum(
-        "tqd,tpcd->tqpc",
-        queries.reshape(tiles, tq, d),
-        embs,
-        preferred_element_type=jnp.float32,
-    )                                       # [T, tq, P, cap]
+        # Mirror the kernel: bf16 dot (integer codes exact in bf16),
+        # per-row scale folded in AFTER the dot.
+        scores = jnp.einsum(
+            "tqd,tpcd->tqpc",
+            qt.astype(jnp.bfloat16),
+            embs.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) * leaf_scales[probes][:, None]
+    else:
+        scores = jnp.einsum(
+            "tqd,tpcd->tqpc", qt, embs,
+            preferred_element_type=jnp.float32,
+        )                                   # [T, tq, P, cap]
     rows = leaf_rows[probes]                # [T, P, cap]
     scores = jnp.where(rows[:, None] >= 0, scores, MIN_FLOAT)
     # Within each probed leaf, slot c folds into bucket c % buckets —
@@ -519,9 +532,17 @@ def probed_scores_reference(
         leaf_embs = quantization.unpack_nibbles(leaf_embs)
     embs = leaf_embs[probes]  # [Q, P, cap, D]
     if leaf_scales is not None:
-        embs = embs.astype(jnp.float32) * leaf_scales[probes][..., None]
-    scores = jnp.einsum(
-        "qd,qpcd->qpc", queries, embs, preferred_element_type=jnp.float32
-    )
+        # Mirror the kernel: bf16 dot, per-row scale after the dot.
+        scores = jnp.einsum(
+            "qd,qpcd->qpc",
+            queries.astype(jnp.bfloat16),
+            embs.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) * leaf_scales[probes]
+    else:
+        scores = jnp.einsum(
+            "qd,qpcd->qpc", queries, embs,
+            preferred_element_type=jnp.float32,
+        )
     q = queries.shape[0]
     return scores.reshape(q, -1)

@@ -109,7 +109,11 @@ def _bucket_kernel_quantized(
     For per-row scale `s_c`, `q·(s_c·v_c) = s_c·(q·v_c)` — the int8
     rows convert once in VMEM, feed the MXU, and the scale folds in as
     one multiply per output element. HBM corpus traffic is 4× less
-    than f32 (1.28 GB per 10M×128 sweep)."""
+    than f32 (1.28 GB per 10M×128 sweep). The dot runs in bf16: int8
+    codes are EXACT in bf16 (|code| ≤ 127 < 2^8 significands), so only
+    the query rounds (≤ 2^-8 relative — an order below the int8
+    quantization error), and the MXU runs at full bf16 rate instead of
+    multi-pass f32."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -118,8 +122,8 @@ def _bucket_kernel_quantized(
         run_ids[:] = jnp.zeros_like(run_ids)
 
     scores = jax.lax.dot_general(
-        q_ref[:],
-        c_ref[:].astype(jnp.float32),
+        q_ref[:].astype(jnp.bfloat16),
+        c_ref[:].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * s_ref[:]  # [TQ, C] * [1, C] broadcast.
@@ -152,7 +156,9 @@ def _bucket_kernel_packed4(
 
     Decode is two bitwise ops per nibble in int32 (`(p<<28)>>28` sign-
     extends the low nibble, an arithmetic `>>4` the high one); each
-    half feeds its own MXU dot. The two `[TQ, chunk/2]` score tiles
+    half feeds its own bf16 MXU dot (int4 codes are exact in bf16; only
+    the query rounds, far below the int4 quantization error, and bf16
+    avoids the multi-pass f32 MXU rate). The two `[TQ, chunk/2]` score tiles
     fold into the bucket state SEPARATELY (the low half covers global
     rows `[j·c/2, (j+1)·c/2)`, the high half the same range shifted by
     `half_rows`; both ranges map to buckets `lane % buckets` since
@@ -168,9 +174,9 @@ def _bucket_kernel_packed4(
 
     ch2 = chunk // 2
     p = c_ref[:].astype(jnp.int32)  # [ch2, D]
-    lo = ((p << 28) >> 28).astype(jnp.float32)
-    hi = (p >> 4).astype(jnp.float32)
-    q = q_ref[:]
+    lo = ((p << 28) >> 28).astype(jnp.bfloat16)
+    hi = (p >> 4).astype(jnp.bfloat16)
+    q = q_ref[:].astype(jnp.bfloat16)
     dims = (((1,), (1,)), ((), ()))
     tq = q.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (tq, ch2), 1)
@@ -427,9 +433,13 @@ def bucketed_top_k_reference(
     n = candidates.shape[0]
     padded_n = _round_up(n, buckets)
     if scales is not None:
-        # int8 codes: dequantize via f32 matmul + per-row scale.
-        scores = (
-            queries.astype(jnp.float32) @ candidates.T.astype(jnp.float32)
+        # int8 codes: bf16 matmul (codes exact in bf16; mirrors the
+        # kernel's MXU dtype) + per-row scale after the dot.
+        scores = jax.lax.dot_general(
+            queries.astype(jnp.bfloat16),
+            candidates.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         ) * scales[None, :].astype(jnp.float32)
     else:
         scores = (queries @ candidates.T).astype(jnp.float32)
