@@ -242,6 +242,43 @@ def main():
             bench("bucketed_int4_4096", lambda q: bk4(q, k), n * d // 2)
             del bk4
 
+    # Learned-codebook PQ full scans (ops/product_quantization): the
+    # LUT16-on-MXU counterpart of the scalar int4 sweep. ds=1 spends
+    # int4's 4 bits/dim on learned per-dim grids; ds=2 is score_ah(2)'s
+    # 2 bits/dim, halving index bytes again.
+    from recommenders_tpu.ops import product_quantization as pq_lib
+
+    for ds in (1, 2):
+        name = f"pq_ds{ds}_maxnorm"
+        if not want(name) or d % ds:
+            continue
+        print(f"{name}...", file=sys.stderr)
+        t0 = time.time()
+        scales, normed = pq_lib.normalize_rows(corpus, "max")
+        cb = pq_lib.train_codebooks(
+            normed[: min(n, 1 << 20)], d // ds, 16,
+            iterations=10, block=1 << 17,
+        )
+        codes = pq_lib.encode(normed, cb, chunk=1 << 19)
+        packed = jax.block_until_ready(pq_lib.pack_codes(codes))
+        del normed, codes
+        pad = (-n) % 8192
+        packed = jnp.pad(packed, ((0, pad), (0, 0)))
+        scales_p = jnp.pad(scales, (0, pad))
+        build_s = time.time() - t0
+        print(f"  trained+encoded on device in {build_s:.0f}s",
+              file=sys.stderr)
+        bench(
+            name,
+            lambda q: pq_lib.pq_top_k(
+                q, packed, cb, k, row_scales=scales_p, valid_rows=n,
+                buckets=4096, chunk=8192,
+            ),
+            n * (d // ds // 2 + 4),
+            build_s=build_s,
+        )
+        del packed, scales_p, scales
+
     leaves = max(64, 1 << int(np.log2(np.sqrt(n) * 2)))
     # (probes, reorder, storage, scoring_buckets, probe_tile):
     # int8 anisotropic vs bf16 leaves; f32 vs bf16 reorder corpora; the
