@@ -29,9 +29,14 @@ FLOP/s and MFU are exact. (The fused loss actually executes ~1.67× the
 model FLOPs from flash-style recompute; MFU is reported against model
 FLOPs, as is standard.)
 
-Modes: BENCH_BF16=1 switches the scoring matmuls to bf16 inputs with
-f32 accumulation; BENCH_FUSED=1 uses the Pallas flash-CE loss kernel.
-All modes print the same schema with "mode" distinguishing them.
+Modes: the default scores in bf16 inputs with f32 accumulation — the
+standard TPU training numerics (the quality head-to-head in
+tools/reference_parity.py trains this path to reference-equal
+accuracy); BENCH_F32=1 keeps the scoring matmuls in f32, BENCH_FUSED=1
+uses the Pallas flash-CE loss kernel; BENCH_BF16_TABLES=1 stores the
+embedding tables in bf16 with stochastic-rounded updates (f32 slots) —
+halves the gather and table-update HBM traffic, the step's dominant
+cost. All modes print the same schema with "mode" distinguishing them.
 
 Usage: python bench.py
 """
@@ -49,7 +54,10 @@ NUM_USERS = 65_536
 NUM_ITEMS = 131_072
 CHUNK = 100   # steps per lax.scan dispatch
 TRIALS = 5
-WARMUP_CHUNKS = 1
+# The remote-attached chip ramps over the first ~2 chunks (measured:
+# per-trial Mex/s 1.2, 1.8, 2.6, 3.3, 3.3 with a single warmup chunk,
+# then flat); three warmup chunks put every timed trial on the plateau.
+WARMUP_CHUNKS = 3
 
 # Dominant model FLOPs per step: scores fwd (2·B²·D) + backward wrt q and
 # c (2 more matmuls of the same shape). Embedding gather/scatter and the
@@ -69,12 +77,13 @@ def main():
     from recommenders_tpu.embedding import config as cfg
     from recommenders_tpu.embedding import engine as engine_lib
 
-    bf16 = os.environ.get("BENCH_BF16") == "1"
+    bf16 = os.environ.get("BENCH_F32") != "1"
     # The Pallas flash-CE path is opt-in: XLA's own fusion of
     # matmul→CE→backward is at least as fast at this shape when only
     # the scalar loss is consumed (measured 101 us vs 232 us at
     # B=4096, D=64), so the default is the unfused task.
     fused = os.environ.get("BENCH_FUSED") == "1"
+    bf16_tables = os.environ.get("BENCH_BF16_TABLES") == "1"
 
     rng = np.random.RandomState(0)
 
@@ -102,6 +111,7 @@ def main():
             ),
         ),
         optimizer=spec,
+        dtype=jnp.bfloat16 if bf16_tables else jnp.float32,
     )
     state = engine.init(jax.random.PRNGKey(0))
     task = tasks_lib.Retrieval(
@@ -182,6 +192,8 @@ def main():
     mode = "bf16_scores" if bf16 else "f32"
     if fused:
         mode += "_fused"
+    if bf16_tables:
+        mode += "_bf16tables_sr"
     print(
         json.dumps(
             {

@@ -255,8 +255,10 @@ def main():
         print(f"{name}...", file=sys.stderr)
         t0 = time.time()
         scales, normed = pq_lib.normalize_rows(corpus, "max")
+        # 256k training rows: K=16 per-subspace k-means is saturated far
+        # below that (ScaNN also trains AH codebooks on a sample).
         cb = pq_lib.train_codebooks(
-            normed[: min(n, 1 << 20)], d // ds, 16,
+            normed[: min(n, 1 << 18)], d // ds, 16,
             iterations=10, block=1 << 17,
         )
         codes = pq_lib.encode(normed, cb, chunk=1 << 19)

@@ -94,6 +94,15 @@ class EmbeddingEngine:
         for unsharded engines; pallas_call does not partition under
         GSPMD, so meshed engines keep the scatter path (shard-local
         callers that route ids themselves can force it on).
+      slot_dtype: Optimizer-slot dtype; None → f32 even for bf16 tables
+        (accumulator sums must not be swallowed by bf16 rounding). Pass
+        `jnp.bfloat16` to halve slot memory — safe with stochastic
+        rounding, which keeps the accumulation unbiased.
+      stochastic_rounding: Round bf16 state writes stochastically on the
+        kernel update path (unbiased: tiny updates land in expectation
+        instead of vanishing — the production recipe for half-precision
+        embedding training). No effect on f32 state. The GSPMD scatter
+        path rounds to nearest regardless.
     """
 
     def __init__(
@@ -105,6 +114,8 @@ class EmbeddingEngine:
         dtype=jnp.float32,
         row_sharding: str = "div",
         sparse_update_kernel: Optional[bool] = None,
+        slot_dtype=None,
+        stochastic_rounding: bool = True,
     ) -> None:
         if row_sharding not in ("div", "mod"):
             raise ValueError(
@@ -117,6 +128,8 @@ class EmbeddingEngine:
         self.dtype = dtype
         self.row_sharding = row_sharding
         self.sparse_update_kernel = sparse_update_kernel
+        self.slot_dtype = slot_dtype  # None → f32 (see init_slots)
+        self.stochastic_rounding = stochastic_rounding
 
         self._tables: Dict[str, config_lib.TableConfig] = {}
         for fc in self.feature_configs:
@@ -225,12 +238,14 @@ class EmbeddingEngine:
             if sharding is not None:
                 slots[name] = jax.jit(
                     lambda t=table, s=spec: sparse_optimizer.init_slots(
-                        s, t
+                        s, t, self.slot_dtype
                     ),
                     out_shardings=None,
                 )()
             else:
-                slots[name] = sparse_optimizer.init_slots(spec, table)
+                slots[name] = sparse_optimizer.init_slots(
+                    spec, table, self.slot_dtype
+                )
         return EngineState(
             tables=tables, slots=slots, step=jnp.zeros((), jnp.int32)
         )
@@ -335,15 +350,25 @@ class EmbeddingEngine:
             )
         tables = dict(state.tables)
         slots = dict(state.slots)
-        for tname, ids_list in per_table_ids.items():
+        for t_idx, (tname, ids_list) in enumerate(
+            sorted(per_table_ids.items())
+        ):
             tc = self._tables[tname]
             spec = self._spec(tc)
             ids = jnp.concatenate(ids_list, axis=0)
             grads = jnp.concatenate(per_table_grads[tname], axis=0)
+            sr_seed = None
+            if self.stochastic_rounding:
+                # Unique per (step, table) so rounding streams never
+                # repeat across steps or collide across tables.
+                sr_seed = state.step * jnp.int32(1000003) + jnp.int32(
+                    t_idx
+                )
             tables[tname], slots[tname] = sparse_optimizer.apply_sparse(
                 spec, tables[tname], slots[tname], ids, grads, state.step,
                 max_unique=tc.max_unique_ids,
                 use_kernel=use_kernel,
+                sr_seed=sr_seed,
             )
         return EngineState(
             tables=tables, slots=slots, step=state.step + 1

@@ -100,37 +100,36 @@ def _unique_ids(ids: Array, num_rows) -> Array:
 
 
 def init_slots(
-    spec: config_lib.OptimizerSpec, table: Array
+    spec: config_lib.OptimizerSpec, table: Array, dtype=None
 ) -> Slots:
-    """Creates the slot variables for one table."""
+    """Creates the slot variables for one table.
+
+    `dtype` defaults to f32 regardless of the table dtype: accumulators
+    sum many small squared-gradient increments, which round-to-nearest
+    bf16 silently drops once the running value outgrows them (the
+    moment adaptive learning rates stop adapting). Storage-constrained
+    deployments can pass `jnp.bfloat16` explicitly — with the engine's
+    stochastic rounding the accumulation stays unbiased.
+    """
+    dtype = jnp.float32 if dtype is None else dtype
+    full = lambda v: jnp.full(table.shape, v, dtype)  # noqa: E731
     if spec.kind == "sgd":
         return {}
     if spec.kind == "adagrad":
-        return {
-            "accumulator": jnp.full_like(
-                table, spec.initial_accumulator_value
-            )
-        }
+        return {"accumulator": full(spec.initial_accumulator_value)}
     if spec.kind == "adam":
-        return {
-            "m": jnp.zeros_like(table),
-            "v": jnp.zeros_like(table),
-        }
+        return {"m": full(0.0), "v": full(0.0)}
     if spec.kind == "ftrl":
         return {
-            "accumulator": jnp.full_like(
-                table, spec.initial_accumulator_value
-            ),
-            "linear": jnp.zeros_like(table),
+            "accumulator": full(spec.initial_accumulator_value),
+            "linear": full(0.0),
         }
     if spec.kind == "clippy":
         return {
-            "accumulator": jnp.full_like(
-                table, spec.initial_accumulator_value
-            ),
+            "accumulator": full(spec.initial_accumulator_value),
             # Last step's scalar clipping factor (the reference's
             # export_clipping_factors equivalent).
-            "clipping_factor": jnp.ones((), table.dtype),
+            "clipping_factor": jnp.ones((), dtype),
         }
     raise ValueError(f"Unknown optimizer kind {spec.kind!r}")
 
@@ -228,6 +227,7 @@ def _apply_sparse_kernel(
     max_unique: Optional[int],
     block_rows: Optional[int] = None,
     chunk: int = 128,
+    sr_seed: Optional[Array] = None,
 ) -> Optional[Tuple[Array, Slots]]:
     """Blocked-kernel formulation of `apply_sparse`; None if unsupported.
 
@@ -276,6 +276,7 @@ def _apply_sparse_kernel(
         scalars=scalars,
         block_rows=block_rows,
         chunk=chunk,
+        stochastic_round_seed=sr_seed,
         interpret=jax.default_backend() != "tpu",
     )
     new_slots = dict(slots)
@@ -293,8 +294,14 @@ def apply_sparse(
     step: Array,
     max_unique: Optional[int] = None,
     use_kernel: bool = False,
+    sr_seed: Optional[Array] = None,
 ) -> Tuple[Array, Slots]:
     """Applies one sparse update. `ids: [n]`, `grads: [n, dim]`.
+
+    `sr_seed` (int32 scalar, unique per step and table) enables
+    stochastic rounding of bf16 state on the kernel path; the scatter
+    path rounds to nearest (GSPMD deployments wanting unbiased bf16
+    should keep tables f32 or route through the kernel).
 
     Duplicate ids are folded first, so each row receives exactly one
     update regardless of how many batch elements touched it; all scatters
@@ -312,7 +319,8 @@ def apply_sparse(
     """
     if use_kernel and spec.kind in KERNEL_KINDS:
         result = _apply_sparse_kernel(
-            spec, table, slots, ids, grads, step, max_unique
+            spec, table, slots, ids, grads, step, max_unique,
+            sr_seed=sr_seed,
         )
         if result is not None:
             return result

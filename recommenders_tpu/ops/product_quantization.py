@@ -178,8 +178,12 @@ def train_codebooks(
     xb = xp.reshape(nblocks, block, s, ds)
     vb = valid.reshape(nblocks, block)
 
+    # The sample blocks enter as ARGUMENTS, not closure captures: a jit
+    # constant is serialized into the program itself, which for a large
+    # training sample means shipping the corpus with every compile
+    # request (fatal through a remote-compile tunnel; wasteful anywhere).
     @jax.jit
-    def one_iteration(codebooks):
+    def one_iteration(codebooks, xb, vb):
         def body(carry, blk):
             sums, counts = carry
             xi, vi = blk
@@ -201,7 +205,7 @@ def train_codebooks(
         )
 
     for _ in range(iterations):
-        codebooks = one_iteration(codebooks)
+        codebooks = one_iteration(codebooks, xb, vb)
     return codebooks
 
 

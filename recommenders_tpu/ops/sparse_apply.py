@@ -70,6 +70,51 @@ BlockUpdate = Callable[[Sequence[Array], Array, Array], Sequence[Array]]
 _LANES = 128
 
 
+def counter_random_u32(
+    seed: Array, stream: Array, shape: Tuple[int, ...]
+) -> Array:
+    """Stateless counter-based random bits (murmur3 finalizer).
+
+    Position-hashed, so it needs no PRNG state and lowers everywhere
+    (Mosaic AND CPU interpret — `pltpu.prng_seed` has no CPU lowering),
+    making kernel runs bit-identical across compiled and interpreted
+    backends. Quality is far beyond what unbiased rounding needs (the
+    finalizer passes SmallCrush); NOT for cryptography or model-rng.
+    """
+    r, c = shape
+    pos = (
+        lax.broadcasted_iota(jnp.int32, shape, 0) * jnp.int32(c)
+        + lax.broadcasted_iota(jnp.int32, shape, 1)
+    ).astype(jnp.uint32)
+    x = pos * jnp.uint32(0x9E3779B9)
+    x = x ^ (
+        seed.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+        + stream.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35)
+    )
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def stochastic_round_bf16(x: Array, random_u32: Array) -> Array:
+    """f32 → bf16 with probabilistic rounding (unbiased: E[out] = x).
+
+    Adds 16 uniform random bits below the bf16 mantissa boundary, then
+    truncates — the carry into the kept bits fires with probability
+    equal to the discarded fraction. Low-magnitude updates into a bf16
+    table survive IN EXPECTATION instead of being swallowed by
+    round-to-nearest (the standard recipe for half-precision embedding
+    training; ±inf inputs are not handled — weights are finite).
+    """
+    u = lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    u = u + (random_u32.astype(jnp.uint32) & jnp.uint32(0xFFFF))
+    u = u & jnp.uint32(0xFFFF0000)
+    return lax.bitcast_convert_type(u, jnp.float32).astype(jnp.bfloat16)
+
+
 def _pick_block_rows(v: int, preferred: int) -> int:
     b = preferred
     while b > 8:
@@ -80,7 +125,7 @@ def _pick_block_rows(v: int, preferred: int) -> int:
 
 
 def _kernel(
-    block_ref, chunk_ref, s_ref, e_ref, sc_ref,  # scalar prefetch (SMEM)
+    block_ref, chunk_ref, s_ref, e_ref, sc_ref, seed_ref,  # SMEM prefetch
     aug_ref,                                    # [chunk, d_aug] pipelined
     *refs,
     block_update: BlockUpdate,
@@ -91,6 +136,8 @@ def _kernel(
     d: int,
     d_grad: int,
     num_pairs: int,
+    use_sr: bool,
+    out_dtypes: Tuple,
 ):
     ins = refs[:num_state]
     outs = refs[num_state:2 * num_state]
@@ -143,12 +190,28 @@ def _kernel(
     def _():
         g = g_acc[:, :d]
         count = g_acc[:, d:d + 1]
-        args = [[i[...] for i in ins], g, count]
+        # Rules always compute in f32; sub-f32 state (bf16 tables)
+        # upcasts here and rounds on write-back below.
+        args = [[i[...].astype(jnp.float32) for i in ins], g, count]
         if num_scalars:
             args.append(tuple(sc_ref[k] for k in range(num_scalars)))
         new_blocks = block_update(*args)
-        for o, nb in zip(outs, new_blocks):
-            o[...] = nb
+        for idx, (o, nb, dt) in enumerate(
+            zip(outs, new_blocks, out_dtypes)
+        ):
+            if use_sr and dt == jnp.bfloat16:
+                # Stream = (block index, state array): every (row, col,
+                # block, array, step-seed) gets independent bits; the
+                # write happens once per block (is_last), so no
+                # position is rounded twice with the same bits.
+                bits = counter_random_u32(
+                    seed_ref[0],
+                    block_ref[p] * jnp.int32(num_state) + jnp.int32(idx),
+                    nb.shape,
+                )
+                o[...] = stochastic_round_bf16(nb, bits)
+            else:
+                o[...] = nb.astype(dt)
 
 
 def sorted_block_apply(
@@ -160,6 +223,7 @@ def sorted_block_apply(
     scalars: Optional[Array] = None,
     block_rows: int = 512,
     chunk: int = 128,
+    stochastic_round_seed: Optional[Array] = None,
     interpret: bool = False,
 ) -> Tuple[Array, ...]:
     """Applies a row-sparse optimizer update through the blocked kernel.
@@ -182,6 +246,11 @@ def sorted_block_apply(
         (learning rate, bias corrections, ...); when given,
         `block_update` receives them as a fourth argument — a k-tuple
         of scalar values read from SMEM.
+      stochastic_round_seed: Optional int32 scalar. When given, bf16
+        state arrays are written back with stochastic rounding
+        (`stochastic_round_bf16`) using the on-core PRNG seeded from
+        (seed, grid step); other dtypes round as usual. Pass a
+        per-(step, table) seed so streams never repeat.
       block_rows: rows per streamed table block (auto-shrunk to divide
         V). Smaller blocks help when updates are sparse relative to V
         (fewer untouched rows streamed); bigger blocks amortize DMA.
@@ -195,6 +264,9 @@ def sorted_block_apply(
     n = sorted_ids.shape[0]
     for st in states:
         assert st.shape == (v, d), (st.shape, (v, d))
+    use_sr = stochastic_round_seed is not None and any(
+        st.dtype == jnp.bfloat16 for st in states
+    )
     br = _pick_block_rows(v, block_rows)
     if br == 0:
         raise ValueError(
@@ -286,6 +358,11 @@ def sorted_block_apply(
         if scalars is None
         else scalars.astype(jnp.float32)
     )
+    seed = (
+        jnp.zeros((1,), jnp.int32)
+        if stochastic_round_seed is None
+        else jnp.asarray(stochastic_round_seed, jnp.int32).reshape((1,))
+    )
     kernel = functools.partial(
         _kernel,
         block_update=block_update,
@@ -296,24 +373,26 @@ def sorted_block_apply(
         d=d,
         d_grad=d_grad,
         num_pairs=num_pairs,
+        use_sr=use_sr,
+        out_dtypes=tuple(st.dtype for st in states),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(num_pairs,),
         in_specs=[
             pl.BlockSpec(
                 (chunk, d_aug),
-                lambda p, bl, cl, sp, ep, sr: (cl[p], 0),
+                lambda p, bl, cl, sp, ep, sr, sd: (cl[p], 0),
             )
         ] + [
             pl.BlockSpec(
-                (br, d), lambda p, bl, cl, sp, ep, sr: (bl[p], 0)
+                (br, d), lambda p, bl, cl, sp, ep, sr, sd: (bl[p], 0)
             )
             for _ in states
         ],
         out_specs=tuple(
             pl.BlockSpec(
-                (br, d), lambda p, bl, cl, sp, ep, sr: (bl[p], 0)
+                (br, d), lambda p, bl, cl, sp, ep, sr, sd: (bl[p], 0)
             )
             for _ in states
         ),
@@ -327,12 +406,12 @@ def sorted_block_apply(
         out_shape=tuple(
             jax.ShapeDtypeStruct((v, d), st.dtype) for st in states
         ),
-        # Operand order: 5 scalar-prefetch refs, the aug chunks (5),
-        # then the state arrays (6..).
-        input_output_aliases={6 + i: i for i in range(num_state)},
+        # Operand order: 6 scalar-prefetch refs, the aug chunks (6),
+        # then the state arrays (7..).
+        input_output_aliases={7 + i: i for i in range(num_state)},
         interpret=interpret,
     )(
-        block_list, chunk_list, s_pair, e_pair, sc,
+        block_list, chunk_list, s_pair, e_pair, sc, seed,
         aug.astype(jnp.float32), *states,
     )
 
@@ -344,6 +423,7 @@ def sorted_block_apply_reference(
     block_update: BlockUpdate,
     *,
     scalars: Optional[Array] = None,
+    stochastic_round_seed: Optional[Array] = None,
 ) -> Tuple[Array, ...]:
     """Pure-jnp twin of `sorted_block_apply` (any backend).
 
@@ -351,6 +431,9 @@ def sorted_block_apply_reference(
     touched rows, applies `block_update` on the gathered "block"
     (rules are elementwise over rows, so gathering is equivalent),
     and scatters back — the slow formulation the kernel replaces.
+    bf16 states round stochastically when a seed is given (same
+    semantics as the kernel; the random stream differs — SR parity is
+    statistical, not bitwise).
     """
     v, d = states[0].shape
     n = sorted_ids.shape[0]
@@ -369,13 +452,31 @@ def sorted_block_apply_reference(
     first = jnp.concatenate(
         [jnp.ones((1,), bool), safe[1:] != safe[:-1]]
     ) & valid
-    rows = [st[safe] for st in states]
+    rows = [st[safe].astype(jnp.float32) for st in states]
     args = [rows, gsum[seg], cnt[seg][:, None]]
     if scalars is not None:
         args.append(tuple(scalars[k] for k in range(scalars.shape[0])))
     new_rows = block_update(*args)
+    use_sr = stochastic_round_seed is not None
     out = []
-    for st, nr in zip(states, new_rows):
+    for i, (st, nr) in enumerate(zip(states, new_rows)):
+        if use_sr and st.dtype == jnp.bfloat16:
+            # Same hash family as the kernel, positioned by TABLE row
+            # id (stable under duplicates; only `first` entries write).
+            col = lax.broadcasted_iota(jnp.int32, nr.shape, 1)
+            pos = safe[:, None] * jnp.int32(d) + col
+            x = pos.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+            x = x ^ (
+                jnp.asarray(stochastic_round_seed, jnp.uint32)
+                * jnp.uint32(0x85EBCA6B)
+                + jnp.uint32(i) * jnp.uint32(0xC2B2AE35)
+            )
+            x = x ^ (x >> 16)
+            x = x * jnp.uint32(0x85EBCA6B)
+            x = x ^ (x >> 13)
+            x = x * jnp.uint32(0xC2B2AE35)
+            x = x ^ (x >> 16)
+            nr = stochastic_round_bf16(nr, x)
         write = jnp.where(first, sorted_ids, v)
         out.append(
             st.at[write].set(

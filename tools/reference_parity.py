@@ -186,7 +186,7 @@ def run_reference_ranking(train, test, args):
 # --- Ours (recommenders_tpu on JAX CPU) -----------------------------------
 
 
-def run_ours_retrieval(train, test, args):
+def run_ours_retrieval(train, test, args, score_dtype=None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -212,6 +212,9 @@ def run_ours_retrieval(train, test, args):
         ),
         candidate_tower=lambda: models_lib.EmbeddingTower(
             train.num_movies, args.dim, embedding_init=keras_uniform
+        ),
+        score_dtype=(
+            jnp.bfloat16 if score_dtype == "bfloat16" else score_dtype
         ),
     )
     trainer = models_lib.Trainer(model, optax.adagrad(args.lr))
@@ -343,6 +346,11 @@ def main():
     print("training recommenders_tpu retrieval (JAX/CPU)...")
     ours_r = run_ours_retrieval(train, test, args)
     print("  ", ours_r)
+    # bench.py's default numerics: bf16 scoring matmuls (f32 accum) must
+    # reach the same quality as the f32 path and the reference.
+    print("training recommenders_tpu retrieval (bf16 scores)...")
+    ours_rb = run_ours_retrieval(train, test, args, "bfloat16")
+    print("  ", ours_rb)
 
     print("training reference TFRS ranking (TF/CPU)...")
     ref_k = run_reference_ranking(train, test, args)
@@ -358,6 +366,8 @@ def main():
          args.tolerance),
         ("retrieval top-100", ref_r["top_100"], ours_r["top_100"],
          args.tolerance),
+        ("retrieval top-100 (bf16 scores)", ref_r["top_100"],
+         ours_rb["top_100"], args.tolerance),
         ("ranking RMSE", ref_k["rmse"], ours_k["rmse"],
          args.rmse_tolerance),
     ]
