@@ -335,9 +335,13 @@ def apply_sparse(
         return buf.at[uids].get(mode="fill", fill_value=fill)
 
     def add(buf, rows):
+        # Explicit round-to-nearest for bf16 state: scatters with
+        # mismatched dtypes are a FutureWarning (soon an error) in JAX.
+        rows = rows.astype(buf.dtype)
         return buf.at[uids].add(rows, mode="drop", unique_indices=True)
 
     def put(buf, rows):
+        rows = rows.astype(buf.dtype)
         return buf.at[uids].set(rows, mode="drop", unique_indices=True)
 
     if spec.kind == "sgd":

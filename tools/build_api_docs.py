@@ -64,8 +64,10 @@ def _signature(obj) -> str:
     except (ValueError, TypeError):
         return "(...)"
     # Default values whose repr embeds a memory address (flax's module
-    # sentinel) would churn the generated files on every run.
-    return re.sub(r"<([\w.]+) object at 0x[0-9a-f]+>", r"<\1>", sig)
+    # sentinel, lambda defaults) would churn the generated files on
+    # every run.
+    sig = re.sub(r"<([\w.]+) object at 0x[0-9a-f]+>", r"<\1>", sig)
+    return re.sub(r"<function ([\w.<>]+) at 0x[0-9a-f]+>", r"<\1>", sig)
 
 
 def render_module(module_name: str) -> str:
