@@ -12,12 +12,17 @@ no throughput numbers (`BASELINE.json.published == {}`), so
 `vs_baseline` is reported against this repo's recorded round-1 value
 (`bench_baseline.json`), else 1.0.
 
-Steps are dispatched in `lax.scan` chunks of CHUNK steps over a
-device-resident `[CHUNK, B]` batch stack — the standard JAX/TPU
-training loop (one XLA program per chunk, inputs prefetched to device),
-which is also what removes this environment's ~1.5 ms-per-dispatch
-tunnel overhead from the measurement. Batch staging happens outside the
-timed region, as a pipelined input feed would.
+Steps are dispatched in `lax.scan` chunks over a device-resident
+`[chunk, B]` batch stack — the standard JAX/TPU training loop (one XLA
+program per chunk, inputs prefetched to device). Each trial times a
+LONG (110-step) and a SHORT (10-step) chunk and reports
+`(T_long − T_short) / 100`: the difference cancels every constant
+per-dispatch cost this tunnel environment adds — ~1.5 ms dispatch plus
+the ~30 ms round-trip of the device→host completion fence — which a
+single absolute timing would smear over the steps (~0.3 ms/step of
+pure fence latency at 100 steps). Batch staging happens before the
+timed region AND is fenced: `jax.device_put` is async and the ~25 MB/s
+host link would otherwise stall the first timed chunks on h2d.
 
 Rigor (VERDICT r1 item 6): the timed region runs TRIALS times with
 fresh data each trial (the remote chip memoizes repeated
@@ -52,7 +57,9 @@ BATCH = 4096
 DIM = 64
 NUM_USERS = 65_536
 NUM_ITEMS = 131_072
-CHUNK = 100   # steps per lax.scan dispatch
+SHORT = 10    # steps in the short differencing chunk
+LONG = 110    # steps in the long differencing chunk
+STEPS = LONG - SHORT   # steps each differenced trial measures
 TRIALS = 5
 # The remote-attached chip ramps over the first ~2 chunks (measured:
 # per-trial Mex/s 1.2, 1.8, 2.6, 3.3, 3.3 with a single warmup chunk,
@@ -87,14 +94,14 @@ def main():
 
     rng = np.random.RandomState(0)
 
-    def batch_stack():
-        """One [CHUNK, B] stack of fresh host batches."""
+    def batch_stack(chunk):
+        """One [chunk, B] stack of fresh host batches."""
         return {
             "user_id": rng.randint(
-                0, NUM_USERS, (CHUNK, BATCH)
+                0, NUM_USERS, (chunk, BATCH)
             ).astype(np.int32),
             "item_id": rng.randint(
-                0, NUM_ITEMS, (CHUNK, BATCH)
+                0, NUM_ITEMS, (chunk, BATCH)
             ).astype(np.int32),
         }
 
@@ -133,27 +140,54 @@ def main():
         return jax.lax.scan(body, state, batches)
 
     # Stage every trial's data on device before timing (the input
-    # pipeline's prefetch, minus this environment's slow host link).
+    # pipeline's prefetch, minus this environment's slow host link),
+    # then fence the staging: device_put is async, and when the
+    # train-step compile is cache-warm the warmup chunks alone do NOT
+    # cover the in-flight transfers — the timed chunks would stall on
+    # h2d. A device-side reduction fetched to host is the only honest
+    # completion fence here.
     stacks = [
-        jax.device_put(batch_stack())
-        for _ in range(WARMUP_CHUNKS + TRIALS)
+        jax.device_put(batch_stack(LONG))
+        for _ in range(WARMUP_CHUNKS)
+    ] + [
+        # Dedicated SHORT-program warmup stack: reusing a trial's stack
+        # would hit the chip's (program, input) result cache mid-trial.
+        jax.device_put(batch_stack(SHORT))
+    ] + [
+        jax.device_put(batch_stack(n))
+        for _ in range(TRIALS)
+        for n in (SHORT, LONG)
     ]
+    fence = jax.jit(
+        lambda ss: sum(jnp.sum(v) for s in ss for v in s.values())
+    )
+    np.asarray(fence(stacks))
 
     for i in range(WARMUP_CHUNKS):
         state, losses = train_chunk(state, stacks[i])
+        if i == 0:
+            # Warm the SHORT-chunk program too (separate compile).
+            state, _ = train_chunk(state, stacks[WARMUP_CHUNKS])
     np.asarray(losses)
+    del losses
 
-    trial_eps = []
-    for t in range(TRIALS):
+    def timed(stack):
+        nonlocal state
         start = time.perf_counter()
-        state, losses = train_chunk(state, stacks[WARMUP_CHUNKS + t])
+        state, losses = train_chunk(state, stack)
         # Force a device→host fetch: through the remote-attached chip,
         # block_until_ready returns before execution completes (async
         # dispatch acknowledges early), which inflated round-1 numbers;
         # fetching the loss values is the only honest completion fence.
         losses_host = np.asarray(losses)
-        elapsed = time.perf_counter() - start
-        trial_eps.append(BATCH * CHUNK / elapsed)
+        return time.perf_counter() - start, losses_host
+
+    trial_eps = []
+    base = WARMUP_CHUNKS + 1
+    for t in range(TRIALS):
+        t_short, _ = timed(stacks[base + 2 * t])
+        t_long, losses_host = timed(stacks[base + 2 * t + 1])
+        trial_eps.append(BATCH * STEPS / (t_long - t_short))
     assert np.isfinite(float(losses_host[-1])), float(losses_host[-1])
 
     n_chips = jax.device_count()

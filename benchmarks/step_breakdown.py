@@ -183,16 +183,89 @@ def main():
 
         return run, jnp.float32(0)
 
+    def v_sort_only():
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(carry, bs):
+            def body(carry, b):
+                # Chain: salt the ids with the previous permutation's
+                # first element.
+                ids = (b["user_id"] + carry) % NUM_USERS
+                order = jnp.argsort(ids)
+                return order[0], order[0]
+            return jax.lax.scan(body, carry, bs)
+
+        return run, jnp.int32(0)
+
+    def v_kernel_presorted():
+        from recommenders_tpu.embedding import sparse_optimizer
+
+        g0 = jax.random.normal(
+            jax.random.PRNGKey(3), (BATCH, DIM), jnp.float32
+        ) * 1e-3
+        pre = {
+            "user_id": jnp.sort(
+                jnp.arange(BATCH, dtype=jnp.int32) * 13 % NUM_USERS
+            ),
+            "item_id": jnp.sort(
+                jnp.arange(BATCH, dtype=jnp.int32) * 29 % NUM_ITEMS
+            ),
+        }
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(st, bs):
+            def body(st, b):
+                tables, slots = dict(st.tables), dict(st.slots)
+                for tname, key in (("user", "user_id"),
+                                   ("item", "item_id")):
+                    rule_args = sparse_optimizer._kernel_rule(
+                        spec, st.step
+                    )
+                    slot_names, scalars, rule = rule_args
+                    states = (tables[tname],) + tuple(
+                        slots[tname][nm] for nm in slot_names
+                    )
+                    new_states = (
+                        sparse_optimizer.sparse_apply.sorted_block_apply(
+                            states, pre[key], g0, rule,
+                            scalars=scalars, block_rows=1024,
+                        )
+                    )
+                    tables[tname] = new_states[0]
+                    slots[tname] = dict(
+                        zip(slot_names, new_states[1:])
+                    )
+                return engine_lib.EngineState(
+                    tables=tables, slots=slots, step=st.step + 1
+                ), slots["user"]["accumulator"][0, 0]
+            return jax.lax.scan(body, st, bs)
+
+        return run, _state_copy()
+
     variants = {
         "full": v_full,
         "lookup_loss": v_lookup_loss,
         "loss_only": v_loss_only,
         "update_only": v_update_only,
         "gather_only": v_gather_only,
+        "sort_only": v_sort_only,
+        "kernel_presorted": v_kernel_presorted,
     }
 
+    fence_sum = None
+
     def timed(run, carry0, n):
+        nonlocal fence_sum
         bs = batches(n)
+        # Fence the async h2d transfer of the scanned inputs: through
+        # the tunnel, device_put returns long before the bytes arrive
+        # (~25 MB/s link), and the scan's wait-for-input would land in
+        # the timed region (~470 us/step at LONG=110 — measured; this
+        # artifact dominated every component before the fence).
+        if fence_sum is None:
+            fence_sum = jax.jit(
+                lambda x: sum(jnp.sum(v) for v in x.values())
+            )
+        np.asarray(fence_sum(bs))
         t0 = time.perf_counter()
         carry, out = run(carry0, bs)
         # Honest fence: device→host fetch of the last output.
