@@ -37,11 +37,19 @@ FLOPs, as is standard.)
 Modes: the default scores in bf16 inputs with f32 accumulation — the
 standard TPU training numerics (the quality head-to-head in
 tools/reference_parity.py trains this path to reference-equal
-accuracy); BENCH_F32=1 keeps the scoring matmuls in f32, BENCH_FUSED=1
-uses the Pallas flash-CE loss kernel; BENCH_BF16_TABLES=1 stores the
-embedding tables in bf16 with stochastic-rounded updates (f32 slots) —
-halves the gather and table-update HBM traffic, the step's dominant
-cost. All modes print the same schema with "mode" distinguishing them.
+accuracy) — and stores the embedding tables in bf16 with
+stochastic-rounded updates and f32 optimizer slots: the production
+recipe for half-precision embedding training (unbiased updates;
+`tests/test_stochastic_rounding.py::test_bf16_sr_training_tracks_f32`
+shows it tracks f32 training), halving the gather and table-update HBM
+traffic — the step's dominant cost (see
+benchmarks/step_breakdown.py). BENCH_F32=1 keeps the scoring matmuls
+in f32; BENCH_F32_TABLES=1 keeps the tables f32; BENCH_BF16_SLOTS=1
+also stores optimizer slots in bf16 (more aggressive; quality-test it
+for your workload); BENCH_FUSED=1 uses the Pallas flash-CE loss kernel
+(XLA's own fusion is equally fast at this shape; the kernel's value is
+guaranteed O(B) loss memory). All modes print the same schema with
+"mode" distinguishing them.
 
 Usage: python bench.py
 """
@@ -90,7 +98,8 @@ def main():
     # the scalar loss is consumed (measured 101 us vs 232 us at
     # B=4096, D=64), so the default is the unfused task.
     fused = os.environ.get("BENCH_FUSED") == "1"
-    bf16_tables = os.environ.get("BENCH_BF16_TABLES") == "1"
+    bf16_tables = os.environ.get("BENCH_F32_TABLES") != "1"
+    bf16_slots = os.environ.get("BENCH_BF16_SLOTS") == "1"
 
     rng = np.random.RandomState(0)
 
@@ -119,6 +128,7 @@ def main():
         ),
         optimizer=spec,
         dtype=jnp.bfloat16 if bf16_tables else jnp.float32,
+        slot_dtype=jnp.bfloat16 if bf16_slots else None,
     )
     state = engine.init(jax.random.PRNGKey(0))
     task = tasks_lib.Retrieval(
@@ -223,11 +233,12 @@ def main():
         if recorded:
             baseline = median / recorded
 
-    mode = "bf16_scores" if bf16 else "f32"
+    mode = "bf16_scores" if bf16 else "f32_scores"
     if fused:
         mode += "_fused"
-    if bf16_tables:
-        mode += "_bf16tables_sr"
+    mode += "_bf16tables_sr" if bf16_tables else "_f32tables"
+    if bf16_slots:
+        mode += "_bf16slots"
     print(
         json.dumps(
             {

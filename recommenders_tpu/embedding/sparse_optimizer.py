@@ -240,17 +240,21 @@ def _apply_sparse_kernel(
     v = table.shape[0]
     slot_names, scalars, rule = _kernel_rule(spec, step)
     if block_rows is None:
-        # Largest power-of-two ≤ 1024 whose VMEM working set (in + out
-        # double-buffered blocks per state array, plus the routing
-        # scratch) stays within ~8 MB of the chip's 16 MB. On the v5e,
-        # 1024 rows keeps the kernel at the HBM roofline for 64-d
-        # tables (measured: 1024 ≈ 300 us vs 512 ≈ 450 us at
-        # V=131072, n=4096).
+        # Largest power-of-two ≤ 2048 whose MODELED VMEM working set
+        # (in + out double-buffered blocks per state array, plus the
+        # routing scratch) stays within ~7 MB. The model underestimates
+        # Mosaic's real allocation by ~1.8× (measured: br=4096 d=64
+        # f32 2-state wants 19.4 MB against the model's 10.5), so 7 MB
+        # modeled ≈ 13 MB real on the 16 MB chip. Full v5e sweep at
+        # V=131072, n=4096, d=64 (benchmarks/_kernel_sweep.py):
+        # br=2048 ≈ 307 us f32 / 226 us bf16 per update vs 322/238 at
+        # 1024 and 410/348 at 512 — the kernel rides the HBM roofline,
+        # bigger blocks just shave per-grid-step overhead.
         d = table.shape[1]
         num_states = 1 + len(slot_names)
         bytes_per_row = d * 4 * (4 * num_states + 2)
-        block_rows = 1024
-        while block_rows > 8 and block_rows * bytes_per_row > 8 << 20:
+        block_rows = 2048
+        while block_rows > 8 and block_rows * bytes_per_row > 7 << 20:
             block_rows //= 2
     if sparse_apply._pick_block_rows(v, block_rows) == 0:
         return None
