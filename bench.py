@@ -100,6 +100,12 @@ def main():
     fused = os.environ.get("BENCH_FUSED") == "1"
     bf16_tables = os.environ.get("BENCH_F32_TABLES") != "1"
     bf16_slots = os.environ.get("BENCH_BF16_SLOTS") == "1"
+    # Table stacking (one sort + one blocked-kernel sweep for all
+    # same-(dim, optimizer) tables) is the engine's recommended
+    # many-table configuration; it is bit-equal to unstacked
+    # (tests/test_table_stacking.py) and measures +3% even at this
+    # workload's two tables. BENCH_UNSTACKED=1 opts out.
+    stacked = os.environ.get("BENCH_UNSTACKED") != "1"
 
     rng = np.random.RandomState(0)
 
@@ -129,6 +135,7 @@ def main():
         optimizer=spec,
         dtype=jnp.bfloat16 if bf16_tables else jnp.float32,
         slot_dtype=jnp.bfloat16 if bf16_slots else None,
+        stack_tables=stacked,
     )
     state = engine.init(jax.random.PRNGKey(0))
     task = tasks_lib.Retrieval(
@@ -239,6 +246,7 @@ def main():
     mode += "_bf16tables_sr" if bf16_tables else "_f32tables"
     if bf16_slots:
         mode += "_bf16slots"
+    mode += "_stacked" if stacked else "_unstacked"
     print(
         json.dumps(
             {

@@ -103,6 +103,20 @@ class EmbeddingEngine:
         instead of vanishing — the production recipe for half-precision
         embedding training). No effect on f32 state. The GSPMD scatter
         path rounds to nearest regardless.
+      stack_tables: Store tables that share (dim, optimizer) as row
+        ranges of ONE physical array — the TF TPU embedding engine's
+        table stacking (the reference's backing API stacks compatible
+        tables per SparseCore to amortize per-table overheads;
+        tpu_embedding_layer.py:757-856 delegates to it). Here it means
+        one id sort, one pair-list construction, and one blocked-kernel
+        sweep per step for the whole group instead of per table — the
+        per-table fixed costs dominate for many-small-table models
+        (DLRM-style). Lookups/updates translate ids by the member's row
+        offset; `logical_tables` returns per-table views. Requires
+        `row_sharding="div"`; tables with `max_unique_ids` stay solo
+        (the bound is per-table). Checkpoints store the stacked layout —
+        round-trip through `logical_tables` to move between stacked and
+        unstacked engines.
     """
 
     def __init__(
@@ -116,10 +130,16 @@ class EmbeddingEngine:
         sparse_update_kernel: Optional[bool] = None,
         slot_dtype=None,
         stochastic_rounding: bool = True,
+        stack_tables: bool = False,
     ) -> None:
         if row_sharding not in ("div", "mod"):
             raise ValueError(
                 f"row_sharding must be 'div' or 'mod', got {row_sharding!r}"
+            )
+        if stack_tables and row_sharding == "mod":
+            raise ValueError(
+                "stack_tables requires row_sharding='div' (the mod "
+                "permutation is per-table)."
             )
         self.feature_configs = tuple(feature_configs)
         self.default_optimizer = optimizer or config_lib.OptimizerSpec()
@@ -130,6 +150,7 @@ class EmbeddingEngine:
         self.sparse_update_kernel = sparse_update_kernel
         self.slot_dtype = slot_dtype  # None → f32 (see init_slots)
         self.stochastic_rounding = stochastic_rounding
+        self.stack_tables = stack_tables
 
         self._tables: Dict[str, config_lib.TableConfig] = {}
         for fc in self.feature_configs:
@@ -141,6 +162,40 @@ class EmbeddingEngine:
                 )
             self._tables[fc.table.name] = fc.table
         self._configs = {fc.name: fc for fc in self.feature_configs}
+
+        # Physical storage map: every logical table lives at a row
+        # offset inside a storage array (its own, unless stacked).
+        # _storage: table name -> (storage name, row offset);
+        # _storage_members: storage name -> [table names], in offset
+        # order. Iteration order (and so rng-consumption order in
+        # `init`) follows feature declaration order either way, keeping
+        # stacked and unstacked initializations identical per table.
+        self._storage: Dict[str, Tuple[str, int]] = {}
+        self._storage_members: Dict[str, list] = {}
+        if stack_tables:
+            groups: Dict = {}
+            for name, tc in self._tables.items():
+                if tc.max_unique_ids is not None:
+                    groups[("solo", name)] = [name]
+                else:
+                    key = ("stack", tc.dim, self._spec(tc))
+                    groups.setdefault(key, []).append(name)
+            for key, members in groups.items():
+                if len(members) == 1:
+                    name = members[0]
+                    self._storage[name] = (name, 0)
+                    self._storage_members[name] = [name]
+                    continue
+                sname = "stacked:" + "+".join(members)
+                off = 0
+                for name in members:
+                    self._storage[name] = (sname, off)
+                    off += self._padded_rows(self._tables[name])
+                self._storage_members[sname] = list(members)
+        else:
+            for name in self._tables:
+                self._storage[name] = (name, 0)
+                self._storage_members[name] = [name]
 
     def _spec(self, tc: config_lib.TableConfig) -> config_lib.OptimizerSpec:
         return tc.optimizer or self.default_optimizer
@@ -169,14 +224,19 @@ class EmbeddingEngine:
         return embedding_lib._pad_vocab(tc.vocabulary_size)
 
     def _to_physical(self, ids: Array, tc: config_lib.TableConfig) -> Array:
-        """Logical → physical ids (identity under div sharding). PAD_ID
-        and other negatives pass through untouched."""
+        """Logical → physical ids within the table's storage array:
+        the mod-sharding permutation (identity under div) plus the
+        table's row offset when stacked. PAD_ID and other negatives
+        pass through untouched."""
         s = self._num_shards()
-        if self.row_sharding != "mod" or s == 1:
-            return ids
-        rows_per_shard = self._padded_rows(tc) // s
-        phys = (ids % s) * rows_per_shard + ids // s
-        return jnp.where(ids < 0, ids, phys)
+        if self.row_sharding == "mod" and s > 1:
+            rows_per_shard = self._padded_rows(tc) // s
+            phys = (ids % s) * rows_per_shard + ids // s
+            return jnp.where(ids < 0, ids, phys)
+        _, offset = self._storage[tc.name]
+        if offset:
+            return jnp.where(ids < 0, ids, ids + offset)
+        return ids
 
     def _physical_permutation(self, tc: config_lib.TableConfig) -> Array:
         """`perm[p] = logical row stored at physical slot p`."""
@@ -196,14 +256,23 @@ class EmbeddingEngine:
         tpu_embedding_layer.py:940-957); round-trip through this method
         to move between topologies.
         """
-        if self.row_sharding != "mod" or self._num_shards() == 1:
-            return dict(state.tables)
+        if self.row_sharding == "mod" and self._num_shards() > 1:
+            out = {}
+            for name, tc in self._tables.items():
+                inverse = self._to_physical(
+                    jnp.arange(self._padded_rows(tc), dtype=jnp.int32), tc
+                )
+                out[name] = jnp.take(state.tables[name], inverse, axis=0)
+            return out
         out = {}
         for name, tc in self._tables.items():
-            inverse = self._to_physical(
-                jnp.arange(self._padded_rows(tc), dtype=jnp.int32), tc
-            )
-            out[name] = jnp.take(state.tables[name], inverse, axis=0)
+            sname, offset = self._storage[name]
+            arr = state.tables[sname]
+            if sname != name:
+                arr = jax.lax.slice_in_dim(
+                    arr, offset, offset + self._padded_rows(tc), axis=0
+                )
+            out[name] = arr
         return out
 
     # --- State ------------------------------------------------------------
@@ -211,8 +280,9 @@ class EmbeddingEngine:
     def init(self, rng: Array) -> EngineState:
         """Initializes sharded tables and optimizer slots."""
         sharding = self._sharding()
-        tables: Dict[str, Array] = {}
-        slots: Dict[str, Dict[str, Array]] = {}
+        # Per-table make closures, rng consumed in declaration order so
+        # a table initializes identically whether or not it is stacked.
+        makes: Dict[str, callable] = {}
         for name, tc in self._tables.items():
             rng, key = jax.random.split(rng)
             init = tc.initializer or config_lib.default_initializer(tc.dim)
@@ -229,21 +299,32 @@ class EmbeddingEngine:
                     )
                 return table
 
+            makes[name] = make
+
+        tables: Dict[str, Array] = {}
+        slots: Dict[str, Dict[str, Array]] = {}
+        for sname, members in self._storage_members.items():
+            def make_storage(members=members):
+                parts = [makes[m]() for m in members]
+                return parts[0] if len(parts) == 1 else jnp.concatenate(
+                    parts, axis=0
+                )
+
             if sharding is not None:
-                table = jax.jit(make, out_shardings=sharding)()
+                table = jax.jit(make_storage, out_shardings=sharding)()
             else:
-                table = make()
-            tables[name] = table
-            spec = self._spec(tc)
+                table = make_storage()
+            tables[sname] = table
+            spec = self._spec(self._tables[members[0]])
             if sharding is not None:
-                slots[name] = jax.jit(
+                slots[sname] = jax.jit(
                     lambda t=table, s=spec: sparse_optimizer.init_slots(
                         s, t, self.slot_dtype
                     ),
                     out_shardings=None,
                 )()
             else:
-                slots[name] = sparse_optimizer.init_slots(
+                slots[sname] = sparse_optimizer.init_slots(
                     spec, table, self.slot_dtype
                 )
         return EngineState(
@@ -266,7 +347,8 @@ class EmbeddingEngine:
         out = {}
         for fname, feature in features.items():
             fc = self._configs[fname]
-            table = jax.lax.stop_gradient(state.tables[fc.table.name])
+            sname, _ = self._storage[fc.table.name]
+            table = jax.lax.stop_gradient(state.tables[sname])
             out[fname] = embedding_lib.lookup_feature(
                 table, fc, self._physical_feature(fc, feature)
             )
@@ -328,20 +410,25 @@ class EmbeddingEngine:
     ) -> EngineState:
         """Applies one sparse-optimizer step from activation gradients.
 
-        Gradients from features sharing one table are concatenated so the
-        table sees a single deduplicated update (matching the engine
-        semantics of one `apply_gradients` per step,
-        tpu_embedding_layer.py:837-845).
+        Gradients from features sharing one table — and, with
+        `stack_tables`, from tables sharing one storage array — are
+        concatenated so the storage sees a single deduplicated update
+        (matching the engine semantics of one `apply_gradients` per
+        step, tpu_embedding_layer.py:837-845). Ids arrive in storage
+        coordinates (`_physical_feature` adds the member's row offset),
+        so a stacked group pays ONE sort + pair-list construction +
+        blocked-kernel sweep for all member tables.
         """
-        per_table_ids: Dict[str, list] = {}
-        per_table_grads: Dict[str, list] = {}
+        per_storage_ids: Dict[str, list] = {}
+        per_storage_grads: Dict[str, list] = {}
         for fname, grad in activation_grads.items():
             fc = self._configs[fname]
             ids, grads = self._row_grads(
                 fc, self._physical_feature(fc, features[fname]), grad
             )
-            per_table_ids.setdefault(fc.table.name, []).append(ids)
-            per_table_grads.setdefault(fc.table.name, []).append(grads)
+            sname, _ = self._storage[fc.table.name]
+            per_storage_ids.setdefault(sname, []).append(ids)
+            per_storage_grads.setdefault(sname, []).append(grads)
 
         use_kernel = self.sparse_update_kernel
         if use_kernel is None:
@@ -350,23 +437,27 @@ class EmbeddingEngine:
             )
         tables = dict(state.tables)
         slots = dict(state.slots)
-        for t_idx, (tname, ids_list) in enumerate(
-            sorted(per_table_ids.items())
+        for t_idx, (sname, ids_list) in enumerate(
+            sorted(per_storage_ids.items())
         ):
-            tc = self._tables[tname]
+            members = self._storage_members[sname]
+            tc = self._tables[members[0]]
             spec = self._spec(tc)
+            # Stacked groups never carry max_unique_ids (such tables
+            # stay solo — the bound is per-table).
+            max_unique = tc.max_unique_ids if len(members) == 1 else None
             ids = jnp.concatenate(ids_list, axis=0)
-            grads = jnp.concatenate(per_table_grads[tname], axis=0)
+            grads = jnp.concatenate(per_storage_grads[sname], axis=0)
             sr_seed = None
             if self.stochastic_rounding:
-                # Unique per (step, table) so rounding streams never
-                # repeat across steps or collide across tables.
+                # Unique per (step, storage) so rounding streams never
+                # repeat across steps or collide across storages.
                 sr_seed = state.step * jnp.int32(1000003) + jnp.int32(
                     t_idx
                 )
-            tables[tname], slots[tname] = sparse_optimizer.apply_sparse(
-                spec, tables[tname], slots[tname], ids, grads, state.step,
-                max_unique=tc.max_unique_ids,
+            tables[sname], slots[sname] = sparse_optimizer.apply_sparse(
+                spec, tables[sname], slots[sname], ids, grads, state.step,
+                max_unique=max_unique,
                 use_kernel=use_kernel,
                 sr_seed=sr_seed,
             )
