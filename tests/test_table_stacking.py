@@ -173,6 +173,57 @@ def test_kernel_path_matches_unstacked():
         )
 
 
+def test_meshed_stacked_matches_unsharded_unstacked():
+    # Under GSPMD the stacked array row-shards like any table (member
+    # boundaries need not align with shard boundaries; the gathers and
+    # scatter-adds route through XLA). Must equal the single-device
+    # unstacked engine bit-for-bit.
+    from recommenders_tpu.parallel import mesh as mesh_lib
+
+    fcs = _configs()
+    mesh = mesh_lib.create_mesh(shape=(2, 4))
+    plain = engine_lib.EmbeddingEngine(fcs)
+    stacked = engine_lib.EmbeddingEngine(
+        fcs, mesh=mesh, stack_tables=True
+    )
+    sp = plain.init(jax.random.PRNGKey(2))
+    ss = stacked.init(jax.random.PRNGKey(2))
+    # Seed the stacked storage from the plain engine's exact values:
+    # jit-compiled (meshed) initializers differ from eager by 1 ULP in
+    # the truncated normal, which is irrelevant here — this test pins
+    # the LAYOUT equivalence, not initializer fusion.
+    ss = engine_lib.EngineState(
+        tables={
+            sname: (
+                sp.tables[members[0]]
+                if len(members) == 1
+                else jnp.concatenate(
+                    [sp.tables[m] for m in members], axis=0
+                )
+            )
+            for sname, members in stacked._storage_members.items()
+        },
+        slots=ss.slots,
+        step=ss.step,
+    )
+    rng = np.random.RandomState(9)
+    feats = _features(rng)
+    ap = plain.lookup(sp, feats)
+    as_ = stacked.lookup(ss, feats)
+    for k in ap:
+        np.testing.assert_array_equal(
+            np.asarray(ap[k]), np.asarray(as_[k]), err_msg=k
+        )
+    sp, _, _ = plain.grad_and_update(sp, feats, _loss)
+    ss, _, _ = stacked.grad_and_update(ss, feats, _loss)
+    tp = plain.logical_tables(sp)
+    ts = stacked.logical_tables(ss)
+    for name in tp:
+        np.testing.assert_array_equal(
+            np.asarray(tp[name]), np.asarray(ts[name]), err_msg=name
+        )
+
+
 def test_logical_roundtrip_moves_between_layouts():
     # logical_tables is the documented bridge between stacked and
     # unstacked checkpoints: importing logical rows into the other
