@@ -125,18 +125,46 @@ def _recall(ids, truth):
     return hits / truth.size
 
 
-def _time_queries(fn, queries_fn, trials=5):
-    """Median seconds per invocation over fresh query batches."""
-    import jax
+def _time_queries(fn, queries_fn, trials=5, pipeline=4):
+    """Seconds per invocation, pipelined dispatch, honest fence.
 
-    jax.block_until_ready(fn(queries_fn()))  # compile
+    Each trial issues `pipeline` fresh query batches back-to-back and
+    fetches a scalar of the LAST output to host — device execution is
+    FIFO, so the fetch bounds all of them. Serializing on
+    `block_until_ready` per batch (the old scheme) adds this tunnel's
+    ~1.5-30 ms dispatch/ack round-trip to every batch and UNDER-reports
+    device throughput ~4x (measured on the 1M serving bench: bucketed
+    27.6k -> 118k q/s); `block_until_ready` through the tunnel is also
+    not a completion guarantee (CLAUDE.md) — only a device→host fetch
+    is.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np_
+
+    def fence(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np_.asarray(leaf[(0,) * leaf.ndim])
+
+    # Compile + stage: all trial batches (plus a dedicated warm batch —
+    # reusing a trial batch would hit the chip's result cache mid-trial)
+    # up front, fenced.
+    batches = [
+        [queries_fn() for _ in range(pipeline)] for _ in range(trials)
+    ]
+    warm = queries_fn()
+    fence(jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))(
+        [warm] + [q for t in batches for q in t]
+    ))
+    fence(fn(warm))
     times = []
-    for _ in range(trials):
-        q = jax.block_until_ready(queries_fn())
+    for t in range(trials):
         t0 = time.perf_counter()
-        out = fn(q)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+        out = None
+        for q in batches[t]:
+            out = fn(q)
+        fence(out)
+        times.append((time.perf_counter() - t0) / pipeline)
     return sorted(times)[len(times) // 2]
 
 

@@ -160,11 +160,25 @@ def main():
     ]
 
     def bench(layer):
-        out = layer(pool[-1])
-        jax.block_until_ready(out)
+        # Fence the query pool's async h2d staging (device_put returns
+        # before the bytes cross the ~25 MB/s tunnel link), then warm
+        # the program. `block_until_ready` through the tunnel returns
+        # BEFORE execution completes (CLAUDE.md), so the honest
+        # completion fence is a device→host fetch of the final
+        # output — device execution is FIFO, so fetching the last
+        # batch's result bounds all earlier ones.
+        np.asarray(
+            jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))(pool)
+        )
+        scores, _ = layer(pool[-1])
+        np.asarray(scores)
         start = time.perf_counter()
+        out = None
         for q in pool[:-1]:
-            jax.block_until_ready(layer(q))
+            out = layer(q)
+        # Scalar fetch: the RTT is the fence; don't also pay the
+        # link-bandwidth cost of the full score matrix.
+        np.asarray(out[0][0, 0])
         return args.queries * args.iters / (
             time.perf_counter() - start
         )
