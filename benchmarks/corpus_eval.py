@@ -76,7 +76,9 @@ def main():
             q = jnp.asarray(queries_host[start:start + args.batch])
             ids = jnp.asarray(true_ids_host[start:start + args.batch])
             mstate = jit_step(mstate, q, ids, corpus_dev)
-        jax.block_until_ready(mstate)
+        # Honest fence: a device→host fetch (block_until_ready through
+        # the tunnel acks before execution completes — CLAUDE.md).
+        np.asarray(jax.tree_util.tree_leaves(mstate)[0])
         return mstate
 
     def run_python_loop():
@@ -88,7 +90,7 @@ def main():
             mstate = metric.update(
                 mstate, q, true_embs, true_candidate_ids=ids
             )
-        jax.block_until_ready(mstate)
+        np.asarray(jax.tree_util.tree_leaves(mstate)[0])
         return mstate
 
     for name, fn in (("jit_step", run_jit),
@@ -124,7 +126,7 @@ def main():
         q = jnp.asarray(queries_host)
         t0 = time.perf_counter()
         scores, ids = stream(q, k=k)
-        jax.block_until_ready((scores, ids))
+        np.asarray(scores[0, 0])
         elapsed = time.perf_counter() - t0
         qps = qn / elapsed
         gbps = hn * d * 4 / elapsed / 2**30
