@@ -1,5 +1,7 @@
-"""Data utilities: synthetic MovieLens, batching, vocab, native loader."""
+"""Data utilities: synthetic MovieLens, batching, vocab, preprocessing,
+native loader."""
 
+from recommenders_tpu.data import preprocessing
 from recommenders_tpu.data import vocab
 from recommenders_tpu.data.movielens import SyntheticMovieLens
 from recommenders_tpu.data.movielens import batched
@@ -19,6 +21,7 @@ __all__ = [
     "evaluate",
     "load_movielens",
     "native_available",
+    "preprocessing",
     "sample_listwise",
     "synthetic_movielens",
     "vocab",

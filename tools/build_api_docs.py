@@ -51,6 +51,7 @@ MODULES = [
     "recommenders_tpu.ops.scoring",
     "recommenders_tpu.data.movielens",
     "recommenders_tpu.data.vocab",
+    "recommenders_tpu.data.preprocessing",
     "recommenders_tpu.data.native_loader",
     "recommenders_tpu.utils.checkpoint",
     "recommenders_tpu.utils.export",
