@@ -72,18 +72,29 @@ def main():
         np.asarray(jax.tree_util.tree_leaves(carry)[0][0, 0])
         return time.perf_counter() - t0, carry
 
-    for br in (512, 1024, 2048, 4096):
-        for chunk in (128, 256, 512):
+    brs = tuple(
+        int(x) for x in os.environ.get("BRS", "512,1024,2048,4096").split(",")
+    )
+    chunks = tuple(
+        int(x) for x in os.environ.get("CHS", "128,256,512").split(",")
+    )
+    for br in brs:
+        for chunk in chunks:
             try:
                 run = variant(br, chunk)
                 carry = (table, dict(slots))
                 for n in (SHORT, LONG, SHORT):
                     _, carry = timed(run, carry, n)
-                ts, carry = timed(run, carry, SHORT)
-                tl, carry = timed(run, carry, LONG)
-                per = (tl - ts) / (LONG - SHORT)
+                pers = []
+                for _ in range(3):
+                    ts, carry = timed(run, carry, SHORT)
+                    tl, carry = timed(run, carry, LONG)
+                    pers.append((tl - ts) / (LONG - SHORT))
+                per = min(pers)
                 print(
                     f"br={br:5d} chunk={chunk:4d} {per * 1e6:8.1f} us"
+                    f"   (3 trials: "
+                    f"{', '.join(f'{p*1e6:.0f}' for p in pers)})"
                 )
             except Exception as e:  # noqa: BLE001
                 print(f"br={br:5d} chunk={chunk:4d} FAIL {e}")

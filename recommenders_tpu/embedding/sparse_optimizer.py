@@ -246,10 +246,14 @@ def _apply_sparse_kernel(
         # Mosaic's real allocation by ~1.8× (measured: br=4096 d=64
         # f32 2-state wants 19.4 MB against the model's 10.5), so 7 MB
         # modeled ≈ 13 MB real on the 16 MB chip. Full v5e sweep at
-        # V=131072, n=4096, d=64 (benchmarks/_kernel_sweep.py):
-        # br=2048 ≈ 307 us f32 / 226 us bf16 per update vs 322/238 at
-        # 1024 and 410/348 at 512 — the kernel rides the HBM roofline,
-        # bigger blocks just shave per-grid-step overhead.
+        # V=131072, n=4096, d=64 (benchmarks/_kernel_sweep.py,
+        # min-of-3 differenced): br=2048 chunk=128 ≈ 260 us f32 /
+        # 219 us bf16 per update (after the single-visit fast path +
+        # packed id lane), vs a measured pure block-copy streaming
+        # floor of ~188 us f32 for the same traffic
+        # (benchmarks/_alias_probe.py) — 1.4× the achievable floor;
+        # chunk 64/256 measure within noise of 128, smaller blocks
+        # lose to per-grid-step overhead.
         d = table.shape[1]
         num_states = 1 + len(slot_names)
         bytes_per_row = d * 4 * (4 * num_states + 2)

@@ -151,13 +151,11 @@ def _kernel(
         p == num_pairs - 1, block_ref[p] != block_ref[p + 1]
     )
 
-    @pl.when(is_first)
-    def _():
-        g_acc[...] = jnp.zeros_like(g_acc)
-
-    # Row ids ride in the last lane group as bitcast f32.
+    # Row ids ride bitcast-f32 in lane d+1 of the one augmented lane
+    # group (not a separate group: at d=64 that halves the update
+    # stream's DMA and VMEM footprint).
     ids = lax.bitcast_convert_type(
-        aug_ref[:, d_grad:d_grad + 1], jnp.int32
+        aug_ref[:, d + 1:d + 2], jnp.int32
     )                                            # [chunk, 1]
     # Entries outside this block's [s, e) range (edge entries of a
     # shared chunk, padding, sentinel pairs) route to no row.
@@ -173,6 +171,12 @@ def _kernel(
     # each product exactly and ~16 mantissa bits on the sum (f32
     # accumulation), vs bf16's 8 on a single DEFAULT pass.
     g = aug_ref[:, :d_grad]
+    # Zero the id lane so the routed output stays clean garbage-free
+    # (bitcast ids are finite for any real vocab, but keep the routed
+    # accumulator exact zeros outside [:, :d+1]).
+    g = jnp.where(
+        lax.broadcasted_iota(jnp.int32, g.shape, 1) == d + 1, 0.0, g
+    )
     g_hi = g.astype(jnp.bfloat16)
     g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
@@ -184,12 +188,11 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )
 
-    g_acc[...] = g_acc[...] + route(g_hi) + route(g_lo)  # [R, d_grad]
+    contrib = route(g_hi) + route(g_lo)          # [R, d_grad] f32
 
-    @pl.when(is_last)
-    def _():
-        g = g_acc[:, :d]
-        count = g_acc[:, d:d + 1]
+    def finish(g_full):
+        g = g_full[:, :d]
+        count = g_full[:, d:d + 1]
         # Rules always compute in f32; sub-f32 state (bf16 tables)
         # upcasts here and rounds on write-back below.
         args = [[i[...].astype(jnp.float32) for i in ins], g, count]
@@ -213,6 +216,31 @@ def _kernel(
             else:
                 o[...] = nb.astype(dt)
 
+    # Single-visit blocks (all their updates in this one chunk — the
+    # common case when updates are sparse) finish straight from the
+    # routing registers; the VMEM scratch accumulator is only read or
+    # written when a block genuinely spans several chunks, and the
+    # first visit stores instead of zero-then-accumulate.
+    single = jnp.logical_and(is_first, is_last)
+
+    @pl.when(single)
+    def _():
+        finish(contrib)
+
+    multi = jnp.logical_not(single)
+
+    @pl.when(jnp.logical_and(multi, is_first))
+    def _():
+        g_acc[...] = contrib
+
+    @pl.when(jnp.logical_and(multi, jnp.logical_not(is_first)))
+    def _():
+        g_acc[...] = g_acc[...] + contrib
+
+    @pl.when(jnp.logical_and(multi, is_last))
+    def _():
+        finish(g_acc[...])
+
 
 def sorted_block_apply(
     states: Tuple[Array, ...],
@@ -225,6 +253,7 @@ def sorted_block_apply(
     chunk: int = 128,
     stochastic_round_seed: Optional[Array] = None,
     interpret: bool = False,
+    _alias: bool = True,
 ) -> Tuple[Array, ...]:
     """Applies a row-sparse optimizer update through the blocked kernel.
 
@@ -330,10 +359,11 @@ def sorted_block_apply(
     s_pair = jnp.where(in_range, starts[t_of], 0)
     e_pair = jnp.where(in_range, ends[t_of], 0)
 
-    # Augmented update rows: [grad (d) | ones-lane | zero pad to a
-    # 128-multiple | row id bitcast to f32 (one lane, 128-padded)].
-    d_grad = -(-(d + 1) // _LANES) * _LANES
-    d_aug = d_grad + _LANES
+    # Augmented update rows: [grad (d) | ones-lane | row id bitcast to
+    # f32 | zero pad to a 128-multiple] — ONE lane group when d ≤ 126,
+    # so the update stream (DMA + VMEM) carries no all-padding group.
+    d_grad = -(-(d + 2) // _LANES) * _LANES
+    d_aug = d_grad
     ones = jnp.ones((n, 1), sorted_grads.dtype)
     id_lane = lax.bitcast_convert_type(
         sorted_ids.astype(jnp.int32), jnp.float32
@@ -342,9 +372,8 @@ def sorted_block_apply(
         [
             sorted_grads,
             ones,
-            jnp.zeros((n, d_grad - d - 1), sorted_grads.dtype),
             id_lane,
-            jnp.zeros((n, _LANES - 1), sorted_grads.dtype),
+            jnp.zeros((n, d_grad - d - 2), sorted_grads.dtype),
         ],
         axis=1,
     )
@@ -407,8 +436,12 @@ def sorted_block_apply(
             jax.ShapeDtypeStruct((v, d), st.dtype) for st in states
         ),
         # Operand order: 6 scalar-prefetch refs, the aug chunks (6),
-        # then the state arrays (7..).
-        input_output_aliases={7 + i: i for i in range(num_state)},
+        # then the state arrays (7..). `_alias=False` is a measurement
+        # knob (benchmarks/_alias_probe.py): it doubles HBM footprint
+        # to expose whether in-place aliasing serializes the block DMAs.
+        input_output_aliases=(
+            {7 + i: i for i in range(num_state)} if _alias else {}
+        ),
         interpret=interpret,
     )(
         block_list, chunk_list, s_pair, e_pair, sc, seed,
