@@ -178,9 +178,15 @@ def main():
     p.add_argument("--skip-bucketed", action="store_true")
     p.add_argument(
         "--streaming", action="store_true",
-        help="Streamed int4 build (Bucketed.index_streamed): the f32 "
+        help="Streamed build (Bucketed.index_streamed): the f32 "
         "corpus never exists on device, so corpora past HBM's f32 "
         "capacity (100M x 128 on a 16 GB chip) become servable.",
+    )
+    p.add_argument(
+        "--streaming-quantize", default="int4", choices=("int4", "int8"),
+        help="Storage for the streamed build: int4 (6.4 GB at 100Mx128, "
+        "capacity row) or int8 anisotropic (12.8 GB — the quality row; "
+        "recall caps near the int8 ceiling instead of int4's ~0.78).",
     )
     p.add_argument("--build-batch", type=int, default=2_000_000)
     p.add_argument(
@@ -404,12 +410,16 @@ def run_streaming(args, sample, sample_t):
             yield sample_t(m, jnp.uint32(i))
 
     t0 = time.time()
+    quant = args.streaming_quantize
+    # int4 packs pairs across chunk/2, so its chunk doubles to keep the
+    # same VMEM block bytes; int8 uses the standard 4096 grid.
+    chunk = 8192 if quant == "int4" else 4096
     index = factorized_top_k.Bucketed(
-        k=k, buckets=4096, chunk=8192, query_tile=128, quantize="int4",
+        k=k, buckets=4096, chunk=chunk, query_tile=128, quantize=quant,
     ).index_streamed(gen_batches(), num_rows=n)
     jax.block_until_ready(index._candidates)
     build_s = time.time() - t0
-    print(f"streamed int4 build: {build_s:.0f}s "
+    print(f"streamed {quant} build: {build_s:.0f}s "
           f"({index._candidates.nbytes / 2**30:.1f} GiB packed)",
           file=sys.stderr)
 
@@ -451,7 +461,7 @@ def run_streaming(args, sample, sample_t):
     _, got = index(fixed_queries, k)
     rec = _recall(np.asarray(got), truth)
     entry = {
-        "config": "bucketed_int4_4096_streamed",
+        "config": f"bucketed_{quant}_4096_streamed",
         "qps": round(qps),
         "recall_at_100": round(rec, 4),
         "index_mb": round(

@@ -470,26 +470,34 @@ class Bucketed(TopK):
                     f"same number of rows (got {self._num_candidates} and "
                     f"{identifiers.shape[0]})."
                 )
+        # Pad to the chunk grid AT INDEX TIME for every mode: a
+        # query-time pad would copy the whole stored corpus per call
+        # (and at 100M×128 int8 the 12.8 GB transient pair does not
+        # even fit HBM). Padding rows are masked in-kernel via the
+        # valid_rows SMEM scalar.
         if self._quantize == "int8":
-            from recommenders_tpu.ops import quantization
+            from recommenders_tpu.ops import quantization, scoring
 
+            padded = scoring.pad_to_multiple(candidates, self._chunk)
             self._scales, candidates = quantization.quantize_rows_device(
-                candidates, self._anisotropic_threshold
+                padded, self._anisotropic_threshold
             )
         elif self._quantize == "int4":
             from recommenders_tpu.ops import quantization, scoring
 
-            # Pad to the chunk grid BEFORE packing: nibble pairing is
-            # row c ↔ row c + padded_n/2, so the stride must be baked
-            # in at index time (padded rows are masked in-kernel via
-            # valid_rows).
+            # Nibble pairing is row c ↔ row c + padded_n/2, so the
+            # stride must be baked in at index time.
             padded = scoring.pad_to_multiple(candidates, self._chunk)
             self._scales, codes = quantization.quantize_rows_device(
                 padded, self._anisotropic_threshold, bits=4
             )
             candidates = quantization.pack_nibbles(codes)
-        elif self._corpus_dtype is not None:
-            candidates = candidates.astype(self._corpus_dtype)
+        else:
+            from recommenders_tpu.ops import scoring
+
+            if self._corpus_dtype is not None:
+                candidates = candidates.astype(self._corpus_dtype)
+            candidates = scoring.pad_to_multiple(candidates, self._chunk)
         self._candidates = candidates
         self._identifiers = identifiers
         return self
@@ -529,12 +537,9 @@ class Bucketed(TopK):
                     f"num_rows ({num_rows})."
                 )
         packed4 = self._quantize == "int4"
-        # int4 bakes chunk padding in at build time (pairing stride);
-        # other modes store exactly num_rows like `index`.
-        stored_n = (
-            scoring._round_up(num_rows, self._chunk)
-            if packed4 else num_rows
-        )
+        # Chunk padding bakes in at build time for every mode (like
+        # `index`): padding at query time would copy the stored corpus.
+        stored_n = scoring._round_up(num_rows, self._chunk)
         buf = scales = None
         off = 0
         for batch in it:
@@ -628,7 +633,7 @@ class Bucketed(TopK):
                 buckets=self._buckets,
                 scales=self._scales,
                 packed4=packed4,
-                valid_rows=self._num_candidates if packed4 else None,
+                valid_rows=self._num_candidates,
             )
         else:
             scores, rows = scoring.bucketed_top_k(
@@ -640,7 +645,7 @@ class Bucketed(TopK):
                 query_tile=self._query_tile,
                 scales=self._scales,
                 packed4=packed4,
-                valid_rows=self._num_candidates if packed4 else None,
+                valid_rows=self._num_candidates,
             )
         if self._identifiers is not None:
             return scores, jnp.take(self._identifiers, rows)

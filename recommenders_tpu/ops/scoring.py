@@ -57,15 +57,20 @@ def exact_top_k(
 
 
 def _bucket_kernel(
-    q_ref, c_ref, vals_ref, ids_ref, run_vals, run_ids,
-    *, chunk: int, buckets: int, num_chunks: int, valid_rows: int,
+    q_ref, c_ref, vr_ref, vals_ref, ids_ref, run_vals, run_ids,
+    *, chunk: int, buckets: int, num_chunks: int,
 ):
     """One (query-tile, corpus-chunk) grid step.
 
     Grid is (num_q_tiles, num_chunks) with chunks minor, so the VMEM
     running state accumulates across a full corpus sweep per query tile.
+    `vr_ref` is the valid-row count as an SMEM scalar — dynamic so one
+    compiled kernel serves any corpus size at a padded shape, and so the
+    count may differ per shard under `shard_map` (sharded serving pads
+    every shard to the same shape but only the last shard is short).
     """
     j = pl.program_id(1)
+    valid_rows = vr_ref[0]
 
     @pl.when(j == 0)
     def _():
@@ -101,8 +106,8 @@ def _bucket_kernel(
 
 
 def _bucket_kernel_quantized(
-    q_ref, c_ref, s_ref, vals_ref, ids_ref, run_vals, run_ids,
-    *, chunk: int, buckets: int, num_chunks: int, valid_rows: int,
+    q_ref, c_ref, s_ref, vr_ref, vals_ref, ids_ref, run_vals, run_ids,
+    *, chunk: int, buckets: int, num_chunks: int,
 ):
     """Quantized variant: int8 corpus rows, per-row f32 scales.
 
@@ -115,6 +120,7 @@ def _bucket_kernel_quantized(
     quantization error), and the MXU runs at full bf16 rate instead of
     multi-pass f32."""
     j = pl.program_id(1)
+    valid_rows = vr_ref[0]
 
     @pl.when(j == 0)
     def _():
@@ -146,10 +152,9 @@ def _bucket_kernel_quantized(
 
 
 def _bucket_kernel_packed4(
-    q_ref, c_ref, s_lo_ref, s_hi_ref, vals_ref, ids_ref, run_vals,
-    run_ids,
-    *, chunk: int, buckets: int, num_chunks: int, valid_rows: int,
-    half_rows: int,
+    q_ref, c_ref, s_lo_ref, s_hi_ref, vr_ref, vals_ref, ids_ref,
+    run_vals, run_ids,
+    *, chunk: int, buckets: int, num_chunks: int, half_rows: int,
 ):
     """Packed-int4 variant: two 4-bit codes per byte, paired across the
     row axis at stride `half_rows` (`ops/quantization.pack_nibbles`).
@@ -166,6 +171,7 @@ def _bucket_kernel_packed4(
     sublane slice, which Mosaic's vector layout cannot lower. HBM sweep
     traffic is 8× less than f32, 2× less than int8."""
     j = pl.program_id(1)
+    valid_rows = vr_ref[0]
 
     @pl.when(j == 0)
     def _():
@@ -205,8 +211,7 @@ def _bucket_kernel_packed4(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "buckets", "chunk", "query_tile", "interpret", "valid_rows",
-        "packed4",
+        "buckets", "chunk", "query_tile", "interpret", "packed4",
     ),
 )
 def bucketed_scores(
@@ -217,7 +222,7 @@ def bucketed_scores(
     chunk: int = 2048,
     query_tile: int = 256,
     interpret: bool = False,
-    valid_rows: int = None,
+    valid_rows=None,
     packed4: bool = False,
 ) -> Tuple[Array, Array]:
     """Streams the corpus once; returns per-bucket `([Q, B], [Q, B])`
@@ -225,6 +230,12 @@ def bucketed_scores(
 
     `candidates` rows beyond the true corpus size must be zero-padded by
     the caller via `pad_to_multiple`; padding is masked in-kernel.
+
+    `valid_rows` (int or traced int32 scalar) is the true corpus size;
+    it reaches the kernel as an SMEM scalar, so one compiled kernel
+    serves any corpus size at a padded shape — and the count may differ
+    per shard under `shard_map` (`parallel.ann`), where a static value
+    could not.
 
     With `packed4`, `candidates` is `[n/2, D]` int8 holding two 4-bit
     codes per byte (`ops/quantization.pack_nibbles` layout: row `c`
@@ -242,6 +253,7 @@ def bucketed_scores(
         if packed4:
             raise ValueError("packed4 requires explicit valid_rows")
         valid_rows = n
+    vr = jnp.asarray(valid_rows, jnp.int32).reshape((1,))
     if n % chunk != 0:
         raise ValueError(f"corpus rows {n} not a multiple of chunk {chunk}")
     if chunk % buckets != 0:
@@ -278,7 +290,6 @@ def bucketed_scores(
             chunk=chunk,
             buckets=buckets,
             num_chunks=num_chunks,
-            valid_rows=valid_rows,
             half_rows=n // 2,
         )
     else:
@@ -287,7 +298,6 @@ def bucketed_scores(
             chunk=chunk,
             buckets=buckets,
             num_chunks=num_chunks,
-            valid_rows=valid_rows,
         )
     corpus_block = chunk // 2 if packed4 else chunk
     in_specs = [
@@ -318,6 +328,8 @@ def bucketed_scores(
                              memory_space=pltpu.VMEM)
             )
             inputs.append(scales.astype(jnp.float32)[None, :])
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    inputs.append(vr)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -369,6 +381,11 @@ def bucketed_top_k(
     `pack_nibbles` layout, already padded to a chunk multiple by the
     index build — packing bakes in the pairing stride) and
     `valid_rows` gives the true corpus size — 8× less sweep traffic.
+
+    `valid_rows` may also be given for UNpacked corpora whose rows are
+    already padded to the chunk grid (the streamed index build pre-pads
+    so no corpus-sized copy happens at query time; sharded serving pads
+    every shard equally) — int or traced int32 scalar.
     """
     if packed4:
         if valid_rows is None:
@@ -381,7 +398,8 @@ def bucketed_top_k(
                 f"{logical}"
             )
     else:
-        valid_rows = candidates.shape[0]
+        if valid_rows is None:
+            valid_rows = candidates.shape[0]
         padded = pad_to_multiple(candidates, chunk)
         if scales is not None:
             n = scales.shape[0]
@@ -403,7 +421,9 @@ def bucketed_top_k(
         packed4=packed4,
     )
     vals, ids = vals[:qn], ids[:qn]
-    k = min(k, min(buckets, valid_rows))
+    if isinstance(valid_rows, int):
+        k = min(k, valid_rows)
+    k = min(k, buckets)
     top_vals, idx = jax.lax.top_k(vals, k)
     return top_vals, jnp.take_along_axis(ids, idx, axis=1)
 
@@ -417,18 +437,21 @@ def bucketed_top_k_reference(
     packed4: bool = False,
     valid_rows: Optional[int] = None,
 ) -> Tuple[Array, Array]:
-    """Pure-jnp oracle with identical bucket semantics (runs anywhere)."""
+    """Pure-jnp oracle with identical bucket semantics (runs anywhere).
+
+    `valid_rows` (int or traced int32 scalar) masks trailing padding
+    rows to MIN_FLOAT, matching the kernel's SMEM-scalar masking.
+    """
     if packed4:
         from recommenders_tpu.ops import quantization
 
         # Unpacking restores natural row order, so padded rows (if any)
-        # are the trailing [valid_rows, n) slice — drop them and score
-        # as plain int8 codes.
+        # are the trailing [valid_rows, n) slice — masked below like
+        # plain int8 codes.
         candidates = quantization.unpack_nibbles(candidates)
-        keep = valid_rows if valid_rows is not None else candidates.shape[0]
         return bucketed_top_k_reference(
-            queries, candidates[:keep], k, buckets=buckets,
-            scales=None if scales is None else scales[:keep],
+            queries, candidates, k, buckets=buckets, scales=scales,
+            valid_rows=valid_rows,
         )
     n = candidates.shape[0]
     padded_n = _round_up(n, buckets)
@@ -443,6 +466,11 @@ def bucketed_top_k_reference(
         ) * scales[None, :].astype(jnp.float32)
     else:
         scores = (queries @ candidates.T).astype(jnp.float32)
+    if valid_rows is not None:
+        col = jnp.arange(n, dtype=jnp.int32)[None, :]
+        scores = jnp.where(
+            col < jnp.asarray(valid_rows, jnp.int32), scores, MIN_FLOAT
+        )
     scores = jnp.pad(
         scores, ((0, 0), (0, padded_n - n)), constant_values=MIN_FLOAT
     )
@@ -455,6 +483,8 @@ def bucketed_top_k_reference(
     best = jnp.argmax(gv, axis=1)
     bucket_vals = jnp.take_along_axis(gv, best[:, None, :], axis=1)[:, 0]
     bucket_ids = jnp.take_along_axis(gi, best[:, None, :], axis=1)[:, 0]
+    if isinstance(valid_rows, int):
+        k = min(k, valid_rows)
     k = min(k, min(buckets, n))
     top_vals, idx = jax.lax.top_k(bucket_vals, k)
     return top_vals, jnp.take_along_axis(bucket_ids, idx, axis=1)

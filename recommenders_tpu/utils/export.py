@@ -305,7 +305,9 @@ def _query_for(index):
         query_tile = index._query_tile
         corpus_dtype = index._corpus_dtype
         packed4 = index._quantize == "int4"
-        valid_rows = index._num_candidates if packed4 else None
+        # The stored corpus is chunk-padded at index time (every mode);
+        # valid_rows masks the padding in the exported computation too.
+        valid_rows = index._num_candidates
 
         def bucketed(queries, candidates, k, scales=None):
             # Bake the index's full serving config into the export: the
