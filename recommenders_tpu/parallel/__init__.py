@@ -1,5 +1,7 @@
 """Parallelism: mesh conventions, shardings, distributed top-k."""
 
+from recommenders_tpu.parallel.ann import ShardedBucketed
+from recommenders_tpu.parallel.ann import ShardedScaNN
 from recommenders_tpu.parallel.corpus import ShardedBruteForce
 from recommenders_tpu.parallel.corpus import make_sharded_top_k
 from recommenders_tpu.parallel.mesh import DATA_AXIS
@@ -15,6 +17,8 @@ __all__ = [
     "MODEL_AXIS",
     "PooledNegativesTrainer",
     "ShardedBruteForce",
+    "ShardedBucketed",
+    "ShardedScaNN",
     "make_pooled_negatives_train_step",
     "make_sharded_top_k",
     "batch_shardings",

@@ -1,0 +1,481 @@
+"""Mesh-sharded approximate serving: Bucketed and ScaNN over a corpus axis.
+
+`parallel.corpus.ShardedBruteForce` scales EXACT retrieval by sharding
+corpus rows across the mesh; this module applies the same distributed
+top-k reduction (SURVEY.md §5 "corpus-sharded scoring") to the two
+APPROXIMATE indexes, which is what makes corpora past one chip's HBM —
+or higher-precision storage at a fixed corpus size — servable on a
+slice:
+
+  - `ShardedBucketed`: corpus rows sharded over `mesh[axis]`; every
+    shard sweeps its local rows with the bucketed Pallas kernel
+    (`ops/scoring.bucketed_top_k`; the jnp oracle on CPU), takes a
+    local top-k over its buckets, and the global result is
+    `all_gather(k)` + re-top-k over ICI. Each shard folds into its own
+    bucket state, so the effective selection width is
+    `devices × buckets` — sharding never lowers bucket recall.
+  - `ShardedScaNN`: k-means LEAVES sharded over `mesh[axis]`, centroids
+    replicated. Every shard computes the same global top-P probe list
+    (one small `[Q, L]` matmul), scores only the probed leaves IT OWNS
+    (foreign probes mask to MIN_FLOAT), and contributes a local top-k;
+    the global reduction is the same `all_gather + re-top-k`. Scores
+    are identical to the single-device `ScaNN` layer's — per-shard
+    masking partitions the probed slots exactly — so results match the
+    unsharded index up to score-tie ordering.
+
+The reference's corresponding scaling knobs are single-host threading:
+Streaming's parallel tf.data map/reduce and ScaNN's
+`parallelize_batch_searches` (`tensorflow_recommenders/layers/
+factorized_top_k.py:404-509,665-666,764-788`). Here the scale axis is
+mesh devices, and the cross-device traffic is `k·devices` rows per
+query batch instead of corpus-sized.
+
+On a 1-device mesh both layers degrade to their single-chip twins.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from recommenders_tpu.layers import factorized_top_k as layers_ftk
+from recommenders_tpu.ops import topk as topk_ops
+from recommenders_tpu.parallel import mesh as mesh_lib
+
+Array = jax.Array
+
+MIN_FLOAT = topk_ops.MIN_FLOAT
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class ShardedBucketed(layers_ftk.TopK):
+    """Bucketed Pallas serving over a mesh-sharded corpus.
+
+    Same recall/throughput dials as `layers.factorized_top_k.Bucketed`
+    (`buckets`, `chunk`, `query_tile`, `quantize`/`corpus_dtype`), with
+    the corpus row-sharded over `mesh[axis]`. Rows pad per shard to the
+    chunk grid at index time; each shard's true row count reaches the
+    kernel as a dynamic SMEM scalar (`ops/scoring.bucketed_scores`), so
+    one program serves every shard.
+
+    Attributes:
+      query_fn: Optional query-embedding function.
+      buckets / chunk / query_tile: Kernel dials (see `Bucketed`).
+      quantize: False, "int8", or "int4" (per-row scales; int4 packs
+        two codes per byte with a PER-SHARD pairing stride).
+      corpus_dtype: Storage dtype for unquantized corpora.
+      anisotropic_quantization_threshold: Score-aware scale refinement.
+      mesh: Device mesh; defaults to all devices on one `axis`.
+      axis: Mesh axis name sharding the corpus rows.
+    """
+
+    def __init__(
+        self,
+        query_fn: Optional[Callable[[Array], Array]] = None,
+        k: int = 10,
+        buckets: int = 2048,
+        chunk: int = 2048,
+        query_tile: int = 256,
+        corpus_dtype=None,
+        quantize=False,
+        anisotropic_quantization_threshold: Optional[float] = 0.2,
+        mesh: Optional[Mesh] = None,
+        axis: str = mesh_lib.MODEL_AXIS,
+    ) -> None:
+        super().__init__(k=k)
+        quantize = {True: "int8", False: None}.get(quantize, quantize)
+        if quantize not in (None, "int8", "int4"):
+            raise ValueError(
+                f"quantize must be False, True, 'int8' or 'int4'; got "
+                f"{quantize!r}"
+            )
+        if quantize and corpus_dtype is not None:
+            raise ValueError(
+                "quantize stores integer codes; corpus_dtype must be None."
+            )
+        if quantize == "int4" and (chunk // 2) % buckets != 0:
+            raise ValueError(
+                f"quantize='int4' needs buckets ({buckets}) to divide "
+                f"chunk/2 ({chunk // 2})."
+            )
+        self.query_fn = query_fn
+        self._buckets = buckets
+        self._chunk = chunk
+        self._query_tile = query_tile
+        self._corpus_dtype = corpus_dtype
+        self._quantize = quantize
+        self._anisotropic_threshold = anisotropic_quantization_threshold
+        if mesh is None:
+            mesh = mesh_lib.create_mesh(
+                shape=(jax.device_count(),), axis_names=(axis,)
+            )
+        self._mesh = mesh
+        self._axis = axis
+        self._candidates = None
+        self._fns = {}
+
+    def index(
+        self,
+        candidates: Array,
+        identifiers: Optional[Array] = None,
+    ) -> "ShardedBucketed":
+        from recommenders_tpu.ops import quantization, scoring
+
+        candidates = jnp.asarray(candidates)
+        if candidates.ndim != 2:
+            raise ValueError(
+                f"The candidates tensor must be 2D (got {candidates.shape})."
+            )
+        if candidates.shape[1] % 128 != 0:
+            raise ValueError(
+                "ShardedBucketed requires the embedding dim to be a "
+                f"multiple of 128; got {candidates.shape[1]}."
+            )
+        n, d = candidates.shape
+        if identifiers is not None:
+            identifiers = jnp.asarray(identifiers)
+            if identifiers.shape[0] != n:
+                raise ValueError(
+                    "The candidates and identifiers tensors must have the "
+                    f"same number of rows (got {n} and "
+                    f"{identifiers.shape[0]})."
+                )
+        s = self._mesh.shape[self._axis]
+        # Equal chunk-aligned rows per shard; trailing shards may be
+        # partially (or fully) padding, masked via per-shard valid
+        # counts.
+        rps = _round_up(-(-n // s), self._chunk)
+        padded = jnp.pad(candidates, ((0, s * rps - n), (0, 0)))
+        scales = None
+        if self._quantize:
+            bits = 4 if self._quantize == "int4" else 8
+            scales, codes = quantization.quantize_rows_device(
+                padded, self._anisotropic_threshold, bits=bits
+            )
+            scales = scales.reshape(s, rps)
+            codes = codes.reshape(s, rps, d)
+            if bits == 4:
+                # Packs the per-shard row axis: slot r pairs with
+                # r + rps/2 WITHIN the shard — the stride the kernel
+                # derives from its local shape.
+                codes = quantization.pack_nibbles(codes)
+            stacked = codes
+        else:
+            if self._corpus_dtype is not None:
+                padded = padded.astype(self._corpus_dtype)
+            stacked = padded.reshape(s, rps, d)
+        sharding = NamedSharding(self._mesh, P(self._axis))
+        self._candidates = jax.device_put(stacked, sharding)
+        self._scales = (
+            None if scales is None else jax.device_put(scales, sharding)
+        )
+        valid = np.clip(n - np.arange(s) * rps, 0, rps).astype(np.int32)
+        self._valid = jax.device_put(jnp.asarray(valid), sharding)
+        self._identifiers = identifiers
+        self._num_candidates = n
+        self._rows_per_shard = rps
+        self._fns = {}
+        return self
+
+    def _make_fn(self, k: int):
+        from recommenders_tpu.ops import scoring
+
+        buckets, chunk = self._buckets, self._chunk
+        query_tile = self._query_tile
+        corpus_dtype = self._corpus_dtype
+        quantize = self._quantize
+        packed4 = quantize == "int4"
+        rps = self._rows_per_shard
+        axis = self._axis
+        on_cpu = jax.default_backend() == "cpu"
+
+        def local_query(queries, cands, scales, valid):
+            c = cands[0]
+            v = valid[0]
+            sc = None if scales is None else scales[0]
+            if corpus_dtype is not None:
+                queries = queries.astype(corpus_dtype)
+            if on_cpu:
+                scores, rows = scoring.bucketed_top_k_reference(
+                    queries.astype(jnp.float32),
+                    c if quantize else c.astype(jnp.float32),
+                    k, buckets=buckets, scales=sc, packed4=packed4,
+                    valid_rows=v,
+                )
+            else:
+                scores, rows = scoring.bucketed_top_k(
+                    queries, c, k, buckets=buckets, chunk=chunk,
+                    query_tile=query_tile, scales=sc, packed4=packed4,
+                    valid_rows=v,
+                )
+            rows = rows + jax.lax.axis_index(axis) * rps
+            return topk_ops.distributed_top_k(scores, rows, k, axis)
+
+        spec3 = P(self._axis)
+        if self._scales is None:
+            def wrapped(queries, cands, valid):
+                return local_query(queries, cands, None, valid)
+
+            sharded = jax.shard_map(
+                wrapped, mesh=self._mesh,
+                in_specs=(P(), spec3, spec3),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            return jax.jit(sharded)
+        sharded = jax.shard_map(
+            local_query, mesh=self._mesh,
+            in_specs=(P(), spec3, spec3, spec3),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def __call__(
+        self, queries: Array, k: Optional[int] = None
+    ) -> Tuple[Array, Array]:
+        k = k if k is not None else self._k
+        if self._candidates is None:
+            raise ValueError(
+                "The `index` method must be called first to "
+                "create the retrieval index."
+            )
+        if self.query_fn is not None:
+            queries = self.query_fn(queries)
+        k = min(k, self._num_candidates, self._buckets)
+        if k not in self._fns:
+            self._fns[k] = self._make_fn(k)
+        if self._scales is None:
+            scores, rows = self._fns[k](
+                queries, self._candidates, self._valid
+            )
+        else:
+            scores, rows = self._fns[k](
+                queries, self._candidates, self._scales, self._valid
+            )
+        if self._identifiers is not None:
+            return scores, jnp.take(self._identifiers, rows)
+        return scores, rows
+
+    def is_exact(self) -> bool:
+        return False
+
+
+class ShardedScaNN(layers_ftk.TopK):
+    """ScaNN-style probed serving with leaves sharded over the mesh.
+
+    Wraps a configured `layers.approximate.ScaNN`: `index()` runs its
+    normal (device or host) build, then re-shards the leaf blocks over
+    `mesh[axis]` with centroids replicated. Queries run SPMD: every
+    shard derives the same global top-P probe list from the replicated
+    centroids, scores the probed leaves it owns, and the global top-k
+    is an `all_gather + re-top-k`. SOAR-built indexes deduplicate
+    globally AFTER the gather (a row's primary and secondary copies may
+    live on different shards).
+
+    v1 restrictions (raise at construction): `num_reordering_candidates`
+    (exact reorder needs a row-sharded corpus gather) and
+    `scoring_buckets`/`probe_tile` (per-shard bucketed probing) are not
+    yet supported sharded; `num_leaves` must divide evenly by the axis
+    size.
+
+    Attributes:
+      scann: The configured (unbuilt) single-device index to build and
+        shard. Its `k`, `query_fn`, probing, quantization, and SOAR
+        settings all apply.
+      mesh: Device mesh; defaults to all devices on one `axis`.
+      axis: Mesh axis name sharding the leaves.
+    """
+
+    def __init__(
+        self,
+        scann,
+        mesh: Optional[Mesh] = None,
+        axis: str = mesh_lib.MODEL_AXIS,
+    ) -> None:
+        from recommenders_tpu.layers import approximate
+
+        if not isinstance(scann, approximate.ScaNN):
+            raise ValueError(
+                f"scann must be a layers.approximate.ScaNN; got "
+                f"{type(scann).__name__}."
+            )
+        if scann._reorder_n:
+            raise ValueError(
+                "ShardedScaNN does not support num_reordering_candidates "
+                "yet (the exact reorder needs a row-sharded corpus "
+                "gather)."
+            )
+        if scann._scoring_buckets is not None:
+            raise ValueError(
+                "ShardedScaNN does not support scoring_buckets yet; use "
+                "the probed-gather scoring path."
+            )
+        super().__init__(k=scann.k)
+        self._scann = scann
+        if mesh is None:
+            mesh = mesh_lib.create_mesh(
+                shape=(jax.device_count(),), axis_names=(axis,)
+            )
+        self._mesh = mesh
+        self._axis = axis
+        self._built = False
+        self._fns = {}
+
+    @property
+    def query_fn(self):
+        return self._scann.query_fn
+
+    def index(
+        self,
+        candidates: Array,
+        identifiers: Optional[Array] = None,
+    ) -> "ShardedScaNN":
+        inner = self._scann
+        inner.index(candidates, identifiers)
+        s = self._mesh.shape[self._axis]
+        num_leaves = inner._centroids.shape[0]
+        if num_leaves % s != 0:
+            raise ValueError(
+                f"num_leaves ({num_leaves}) must divide evenly over the "
+                f"{s}-way '{self._axis}' axis."
+            )
+        leaf_sharding = NamedSharding(self._mesh, P(self._axis))
+        rep = NamedSharding(self._mesh, P())
+        self._centroids = jax.device_put(inner._centroids, rep)
+        self._leaf_embs = jax.device_put(inner._leaf_embs, leaf_sharding)
+        self._leaf_scales = (
+            None if inner._leaf_scales is None
+            else jax.device_put(inner._leaf_scales, leaf_sharding)
+        )
+        self._leaf_ids = jax.device_put(inner._leaf_ids, leaf_sharding)
+        self._leaf_rows = jax.device_put(inner._leaf_rows, leaf_sharding)
+        self._leaf_valid = jax.device_put(inner._leaf_valid, leaf_sharding)
+        self._num_leaves = num_leaves
+        self._num_candidates = inner._num_candidates
+        # The single-device leaf blocks are superseded by the sharded
+        # copies; drop them so the unsharded placement does not pin HBM.
+        inner._leaf_embs = inner._leaf_scales = None
+        inner._leaf_ids = inner._leaf_rows = inner._leaf_valid = None
+        inner._built = False
+        self._built = True
+        self._fns = {}
+        return self
+
+    def _make_fn(self, k: int):
+        from recommenders_tpu.ops import leaf_scoring
+
+        inner = self._scann
+        axis = self._axis
+        s = self._mesh.shape[self._axis]
+        l_local = self._num_leaves // s
+        num_probes = min(inner._num_probes, self._num_leaves)
+        quantized = inner._quantize
+        packed4 = quantized == "int4"
+        dedup = inner._soar_lambda is not None
+        cap_store = self._leaf_embs.shape[1]
+        d = self._centroids.shape[1]
+        use_kernel = (
+            jax.default_backend() != "cpu"
+            and d % 128 == 0
+            and cap_store % 128 == 0
+        )
+
+        def local_query(queries, centroids, embs, scales, ids, rows,
+                        valid):
+            cscores = queries @ centroids.T          # [Q, L] (replicated)
+            _, probes = jax.lax.top_k(cscores, num_probes)
+            probes = probes.astype(jnp.int32)
+            lo = jax.lax.axis_index(axis) * l_local
+            lp = probes - lo
+            mine = (lp >= 0) & (lp < l_local)
+            lpc = jnp.clip(lp, 0, l_local - 1)
+            sc = None if scales is None else scales
+            if use_kernel:
+                scores = leaf_scoring.probed_leaf_scores(
+                    queries, embs, sc, lpc, packed4=packed4
+                )
+            else:
+                scores = leaf_scoring.probed_scores_reference(
+                    queries, embs, sc, lpc, packed4=packed4
+                )
+            q = queries.shape[0]
+            ok = valid[lpc] & mine[..., None]        # [Q, P, cap]
+            scores = jnp.where(ok.reshape(q, -1), scores, MIN_FLOAT)
+            flat_ids = ids[lpc].reshape(q, -1)
+            flat_rows = rows[lpc].reshape(q, -1)
+            fetch = min(2 * k if dedup else k, scores.shape[1])
+            ls, idx = jax.lax.top_k(scores, fetch)
+            li = jnp.take_along_axis(flat_ids, idx, axis=1)
+            lr = jnp.take_along_axis(flat_rows, idx, axis=1)
+            gs = jax.lax.all_gather(ls, axis, axis=1, tiled=True)
+            gi = jax.lax.all_gather(li, axis, axis=1, tiled=True)
+            gr = jax.lax.all_gather(lr, axis, axis=1, tiled=True)
+            if dedup:
+                from recommenders_tpu.layers import approximate
+
+                # Global dedup: a SOAR row's two copies may come from
+                # different shards. Each shard fetched 2k, so k unique
+                # survivors are guaranteed.
+                ts, ti, _ = approximate._dedup_topk(gs, gi, gr, k)
+                return ts, ti
+            ts, idx2 = jax.lax.top_k(gs, min(k, gs.shape[1]))
+            return ts, jnp.take_along_axis(gi, idx2, axis=1)
+
+        leaf_spec = P(self._axis)
+        if self._leaf_scales is None:
+            def wrapped(queries, centroids, embs, ids, rows, valid):
+                return local_query(
+                    queries, centroids, embs, None, ids, rows, valid
+                )
+
+            sharded = jax.shard_map(
+                wrapped, mesh=self._mesh,
+                in_specs=(P(), P(), leaf_spec, leaf_spec, leaf_spec,
+                          leaf_spec),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            return jax.jit(sharded)
+        sharded = jax.shard_map(
+            local_query, mesh=self._mesh,
+            in_specs=(P(), P(), leaf_spec, leaf_spec, leaf_spec,
+                      leaf_spec, leaf_spec),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def __call__(
+        self, queries: Array, k: Optional[int] = None
+    ) -> Tuple[Array, Array]:
+        if not self._built:
+            raise ValueError(
+                "The `index` method must be called first to "
+                "create the retrieval index."
+            )
+        k = k if k is not None else self._k
+        if self.query_fn is not None:
+            queries = self.query_fn(queries)
+        k = min(k, self._num_candidates)
+        if k not in self._fns:
+            self._fns[k] = self._make_fn(k)
+        if self._leaf_scales is None:
+            return self._fns[k](
+                queries, self._centroids, self._leaf_embs,
+                self._leaf_ids, self._leaf_rows, self._leaf_valid,
+            )
+        return self._fns[k](
+            queries, self._centroids, self._leaf_embs, self._leaf_scales,
+            self._leaf_ids, self._leaf_rows, self._leaf_valid,
+        )
+
+    def is_exact(self) -> bool:
+        return False

@@ -1,0 +1,223 @@
+"""Mesh-sharded approximate serving (parallel.ann) on the 8-device mesh.
+
+Equality discipline: the sharded layers must reproduce single-device
+execution of the same index semantics exactly (up to score-tie order),
+mirroring the repo's sharded-vs-unsharded bit-equality convention.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from recommenders_tpu.layers import approximate, factorized_top_k
+from recommenders_tpu.ops import scoring, topk as topk_ops
+from recommenders_tpu.parallel import ann as ann_lib
+from recommenders_tpu.parallel import mesh as mesh_lib
+
+
+def _clustered(n, d, q, seed=0, clusters=32, noise=0.3):
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(size=(clusters, d)).astype(np.float32)
+    a = rng.randint(0, clusters, n)
+    corpus = centers[a] + noise * rng.normal(size=(n, d)).astype(
+        np.float32
+    )
+    queries = centers[rng.randint(0, clusters, q)] + noise * rng.normal(
+        size=(q, d)
+    ).astype(np.float32)
+    return jnp.asarray(queries), jnp.asarray(corpus)
+
+
+def _assert_topk_equal(got, want, context="", rtol=0.0):
+    """Score equality (exact for quantized paths, whose bf16 dot is
+    deterministic; `rtol` for f32 paths where XLA may reassociate the
+    matmul differently across compilation contexts); id equality except
+    inside score ties."""
+    gs, gi = np.asarray(got[0]), np.asarray(got[1])
+    ws, wi = np.asarray(want[0]), np.asarray(want[1])
+    np.testing.assert_allclose(gs, ws, rtol=rtol, atol=0, err_msg=context)
+    if rtol:
+        # Near-ties under rtol can swap boundary ids; require the id
+        # SETS to agree almost everywhere instead of positionally.
+        overlap = np.mean([
+            len(set(gi[r]) & set(wi[r])) / gi.shape[1]
+            for r in range(gi.shape[0])
+        ])
+        assert overlap > 0.98, (context, overlap)
+        return
+    mismatch = gi != wi
+    if mismatch.any():
+        rows, cols = np.nonzero(mismatch)
+        for r, c in zip(rows, cols):
+            # A differing id is acceptable only when its score ties
+            # with a neighbour (top-k order among ties is unspecified).
+            tied = np.isin(gs[r, c], ws[r][wi[r] != gi[r, c]]).item() or (
+                (ws[r] == ws[r, c]).sum() > 1
+            )
+            assert tied, (context, r, c, gi[r, c], wi[r, c], gs[r, c])
+        # Tie-permuted rows still carry identical id SETS.
+        for r in set(rows):
+            assert set(gi[r]) == set(wi[r]), (context, r)
+
+
+def _sharded_bucketed_oracle(index, queries, k):
+    """Single-device replay of ShardedBucketed's exact semantics."""
+    s = index._mesh.shape[index._axis]
+    rps = index._rows_per_shard
+    n = index._num_candidates
+    cands = np.asarray(jax.device_get(index._candidates))
+    scales = (
+        None if index._scales is None
+        else np.asarray(jax.device_get(index._scales))
+    )
+    packed4 = index._quantize == "int4"
+    all_scores, all_rows = [], []
+    for sh in range(s):
+        c = jnp.asarray(cands[sh])
+        sc = None if scales is None else jnp.asarray(scales[sh])
+        q = queries
+        if index._corpus_dtype is not None:
+            q = q.astype(index._corpus_dtype)
+        vs, rs = scoring.bucketed_top_k_reference(
+            q.astype(jnp.float32),
+            c if index._quantize else c.astype(jnp.float32),
+            k,
+            buckets=index._buckets,
+            scales=sc,
+            packed4=packed4,
+            valid_rows=int(np.clip(n - sh * rps, 0, rps)),
+        )
+        all_scores.append(vs)
+        all_rows.append(rs + sh * rps)
+    scores = jnp.concatenate(all_scores, axis=1)
+    rows = jnp.concatenate(all_rows, axis=1)
+    k = min(k, scores.shape[1])
+    ts, idx = jax.lax.top_k(scores, k)
+    return ts, jnp.take_along_axis(rows, idx, axis=1)
+
+
+@pytest.mark.parametrize("quantize", [False, "int8", "int4"])
+@pytest.mark.parametrize("n", [4096, 3000])  # aligned and ragged
+def test_sharded_bucketed_matches_single_device_semantics(quantize, n):
+    queries, corpus = _clustered(n, 128, 16, seed=0)
+    chunk = 512 if quantize != "int4" else 1024
+    index = ann_lib.ShardedBucketed(
+        k=20, buckets=512, chunk=chunk, quantize=quantize
+    ).index(corpus)
+    got = index(queries)
+    want = _sharded_bucketed_oracle(index, queries, 20)
+    assert int(np.asarray(got[1]).max()) < n  # no padding rows leak
+    _assert_topk_equal(
+        got, want, f"quantize={quantize} n={n}",
+        rtol=1e-5 if quantize is False else 0.0,
+    )
+
+
+def test_sharded_bucketed_scores_are_exact_dots():
+    queries, corpus = _clustered(2048, 128, 8, seed=1)
+    index = ann_lib.ShardedBucketed(k=10, buckets=512, chunk=512).index(
+        corpus
+    )
+    scores, rows = index(queries)
+    exact = np.asarray(queries @ corpus.T)
+    got = np.take_along_axis(exact, np.asarray(rows), axis=1)
+    np.testing.assert_allclose(np.asarray(scores), got, rtol=1e-5)
+
+
+def test_sharded_bucketed_recall_vs_brute_force():
+    queries, corpus = _clustered(4096, 128, 16, seed=2)
+    bf = factorized_top_k.BruteForce(k=10).index(corpus)
+    sb = ann_lib.ShardedBucketed(k=10, buckets=512, chunk=512).index(
+        corpus
+    )
+    _, want = bf(queries)
+    _, got = sb(queries)
+    overlap = np.mean([
+        len(set(np.asarray(got)[r]) & set(np.asarray(want)[r])) / 10
+        for r in range(16)
+    ])
+    # Effective width is devices x buckets; collisions ~ never at this k.
+    assert overlap > 0.95, overlap
+
+
+def test_sharded_bucketed_identifiers_and_explicit_mesh():
+    mesh = mesh_lib.create_mesh(shape=(2, 4))
+    queries, corpus = _clustered(1536, 128, 8, seed=3)
+    ids = jnp.asarray(np.arange(1536, dtype=np.int64) * 7 + 3)
+    index = ann_lib.ShardedBucketed(
+        k=10, buckets=512, chunk=512, mesh=mesh,
+        axis=mesh_lib.MODEL_AXIS,
+    ).index(corpus, ids)
+    _, got = index(queries)
+    assert set(np.asarray(got).ravel()) <= set(np.asarray(ids))
+
+
+def _scann_params(**kw):
+    base = dict(
+        k=20, num_leaves=64, num_leaves_to_search=16,
+        training_iterations=4, seed=0, query_batch=64,
+    )
+    base.update(kw)
+    return base
+
+
+@pytest.mark.parametrize(
+    "quantize,soar",
+    [(False, None), ("int8", None), ("int4", None), ("int8", 1.2)],
+)
+def test_sharded_scann_matches_single_device(quantize, soar):
+    queries, corpus = _clustered(4096, 128, 16, seed=4)
+    params = _scann_params(quantize=quantize, soar_lambda=soar)
+    single = approximate.ScaNN(**params).index(corpus)
+    want = single(queries)
+    sharded = ann_lib.ShardedScaNN(
+        approximate.ScaNN(**params)
+    ).index(corpus)
+    got = sharded(queries)
+    _assert_topk_equal(got, want, f"quantize={quantize} soar={soar}")
+
+
+def test_sharded_scann_frees_single_device_leaf_blocks():
+    queries, corpus = _clustered(1024, 128, 8, seed=5)
+    inner = approximate.ScaNN(**_scann_params())
+    sharded = ann_lib.ShardedScaNN(inner).index(corpus)
+    assert inner._leaf_embs is None  # superseded by the sharded copies
+    scores, ids = sharded(queries, k=5)
+    assert scores.shape == (8, 5)
+
+
+def test_sharded_scann_rejects_unsupported_configs():
+    with pytest.raises(ValueError, match="reorder"):
+        ann_lib.ShardedScaNN(
+            approximate.ScaNN(**_scann_params(
+                num_reordering_candidates=50
+            ))
+        )
+    with pytest.raises(ValueError, match="scoring_buckets"):
+        ann_lib.ShardedScaNN(
+            approximate.ScaNN(**_scann_params(scoring_buckets=128))
+        )
+    with pytest.raises(ValueError, match="ScaNN"):
+        ann_lib.ShardedScaNN(factorized_top_k.BruteForce())
+    # 60 leaves cannot split 8 ways.
+    queries, corpus = _clustered(512, 128, 4, seed=6)
+    with pytest.raises(ValueError, match="divide"):
+        ann_lib.ShardedScaNN(
+            approximate.ScaNN(**_scann_params(num_leaves=60))
+        ).index(corpus)
+
+
+def test_sharded_bucketed_query_with_exclusions():
+    queries, corpus = _clustered(2048, 128, 8, seed=7)
+    index = ann_lib.ShardedBucketed(k=10, buckets=512, chunk=512).index(
+        corpus
+    )
+    _, ids = index(queries)
+    exclusions = ids[:, :3]
+    _, ex_ids = index.query_with_exclusions(queries, exclusions)
+    for i in range(8):
+        assert not set(np.asarray(ex_ids)[i]) & set(
+            np.asarray(exclusions)[i]
+        )
