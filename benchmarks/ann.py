@@ -264,6 +264,14 @@ def main():
             ).index(corpus)
             bench("bucketed_bf16_4096", lambda q: bk(q, k), n * d * 2)
             del bk
+        if want("bucketed_int8_4096"):
+            print("bucketed int8...", file=sys.stderr)
+            bk8 = factorized_top_k.Bucketed(
+                k=k, buckets=4096, chunk=4096, query_tile=128,
+                quantize="int8",
+            ).index(corpus)
+            bench("bucketed_int8_4096", lambda q: bk8(q, k), n * d)
+            del bk8
         if want("bucketed_int4_4096"):
             # int4 needs buckets | chunk/2 → chunk 8192 for B=4096; the
             # halved corpus block keeps the VMEM budget at the bf16
@@ -285,6 +293,13 @@ def main():
     for ds in (1, 2):
         name = f"pq_ds{ds}_maxnorm"
         if not want(name) or d % ds:
+            continue
+        if n > 2_000_000 and args.only is None:
+            # PQ's encode intermediates exceed HBM past ~2M rows and its
+            # verdict (dominated ~90× by scalar int4 at equal bits/dim)
+            # was settled at 1M — skip unless explicitly requested.
+            print(f"{name}: skipped at n={n} (run with --only pq_)",
+                  file=sys.stderr)
             continue
         print(f"{name}...", file=sys.stderr)
         t0 = time.time()

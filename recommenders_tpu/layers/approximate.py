@@ -395,6 +395,62 @@ def _pack_assign_device(
 _quantize_rows_device = quantization.quantize_rows_device
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_batch(
+    embs_buf: Array, rows_buf: Array, valid_buf: Array,
+    batch: Array, leaf_b: Array, slot_b: Array, row0,
+) -> Tuple[Array, Array, Array]:
+    """Scatters one corpus batch into unquantized leaf storage (donated,
+    in-place). `row0` is the batch's first global row index."""
+    b = batch.shape[0]
+    rows = row0 + jnp.arange(b, dtype=jnp.int32)
+    return (
+        embs_buf.at[leaf_b, slot_b].set(
+            batch.astype(embs_buf.dtype), mode="drop"
+        ),
+        rows_buf.at[leaf_b, slot_b].set(rows, mode="drop"),
+        valid_buf.at[leaf_b, slot_b].set(True, mode="drop"),
+    )
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1, 2, 3),
+    static_argnames=("threshold", "bits", "half"),
+)
+def _scatter_batch_quantized(
+    codes_buf: Array, scales_buf: Array, rows_buf: Array,
+    valid_buf: Array, batch: Array, leaf_b: Array, slot_b: Array, row0,
+    threshold, bits: int, half: int,
+) -> Tuple[Array, Array, Array, Array]:
+    """Quantize-and-scatter one batch into int8 (or nibble-packed int4)
+    leaf storage. For `bits=4`, `half = capacity // 2`: slot `s` lands
+    in packed slot `s % half`, low nibble for `s < half`, high nibble
+    otherwise (`ops/quantization.pack_nibbles` layout per leaf). Each
+    (leaf, packed-slot, nibble) is written at most once over a zero
+    buffer, so a wrapping int8 add realizes the bitwise OR exactly."""
+    b = batch.shape[0]
+    rows = row0 + jnp.arange(b, dtype=jnp.int32)
+    scales, codes = quantization.quantize_block(
+        batch, threshold, bits=bits
+    )
+    if bits == 4:
+        nib = codes.astype(jnp.int32) & 15
+        val = jnp.where(
+            (slot_b < half)[:, None], nib, nib << 4
+        ).astype(jnp.int8)
+        codes_buf = codes_buf.at[leaf_b, slot_b % half].add(
+            val, mode="drop"
+        )
+    else:
+        codes_buf = codes_buf.at[leaf_b, slot_b].set(codes, mode="drop")
+    return (
+        codes_buf,
+        scales_buf.at[leaf_b, slot_b].set(scales, mode="drop"),
+        rows_buf.at[leaf_b, slot_b].set(rows, mode="drop"),
+        valid_buf.at[leaf_b, slot_b].set(True, mode="drop"),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_leaves", "capacity", "fill")
 )
@@ -597,7 +653,12 @@ def _search_bucketed(
     fetch = min(2 * k, buckets) if dedup else k
     top_scores, idx = jax.lax.top_k(vals, fetch)
     top_rows = jnp.take_along_axis(rows, idx, axis=1)
-    top_ids = identifiers[jnp.maximum(top_rows, 0)]
+    # identifiers=None ⇒ rows ARE the ids (saves an [N] gather table —
+    # 0.4 GB at 100M, which matters for the streamed build's budget).
+    top_ids = (
+        top_rows if identifiers is None
+        else identifiers[jnp.maximum(top_rows, 0)]
+    )
     if dedup:
         top_scores, top_ids, top_rows = _dedup_topk(
             top_scores, top_ids, top_rows, k
@@ -988,6 +1049,191 @@ class ScaNN(factorized_top_k.TopK):
             identifiers if self._scoring_buckets is not None else None
         )
         self._num_candidates = n
+        self._built = True
+        return self
+
+    def index_streamed(
+        self,
+        batches,
+        num_rows: int,
+        identifiers: Optional[Array] = None,
+    ) -> "ScaNN":
+        """Streamed PARTITIONED build: the f32 corpus never exists on
+        device, so probed ANN serving reaches corpora past HBM's f32
+        capacity (e.g. int8 leaves over 100M×128 rows on a 16 GB chip,
+        where the f32 corpus would be 51 GB).
+
+        Three passes over the batch stream (so `batches` must be a
+        zero-arg callable returning a fresh iterator, or a list):
+
+          1. **Sample** — stride-samples `kmeans_sample_size` rows
+             (default 2²¹) for the device Lloyd iterations; ScaNN also
+             trains its partitioner on a sample.
+          2. **Assign** — per-batch top-R centroid choices accumulate
+             into a device `[N, R]` buffer; bounded-capacity packing
+             (`_pack_assign_device`) then runs on device, and the
+             resulting `leaf_of`/`slot_of` maps move to HOST memory so
+             the scatter pass's device peak is just the leaf storage
+             plus one batch.
+          3. **Quantize + scatter** — each batch quantizes on device
+             and scatters into the preallocated leaf blocks (donated,
+             in-place; int4 ORs nibbles into the packed layout).
+
+        Restrictions (each would re-materialize corpus-scale state —
+        the thing streaming exists to avoid): no SOAR (doubles leaf
+        memory), no reorder (needs the full-precision corpus
+        resident). With `identifiers=None`, global row indices serve
+        as ids with no `[N]` gather table.
+
+        Args:
+          batches: Zero-arg callable returning an iterator of `[b, D]`
+            row blocks in corpus order, or a list of blocks. Uniform
+            batch sizes avoid per-shape recompiles.
+          num_rows: Total corpus rows (must match the stream).
+          identifiers: Optional `[num_rows]` id array (device-resident
+            gather table; omit at extreme scale).
+        """
+        if self._soar_lambda is not None:
+            raise ValueError(
+                "index_streamed does not support soar_lambda (SOAR "
+                "doubles leaf memory; the streamed build exists because "
+                "memory is the binding constraint)."
+            )
+        if self._reorder_n:
+            raise ValueError(
+                "index_streamed does not support "
+                "num_reordering_candidates (the exact reorder needs the "
+                "full-precision corpus resident on device)."
+            )
+        if callable(batches):
+            factory = batches
+        else:
+            blocks = list(batches)
+            factory = lambda: iter(blocks)  # noqa: E731
+        if identifiers is not None:
+            identifiers = jnp.asarray(identifiers)
+            if identifiers.shape[0] != num_rows:
+                raise ValueError(
+                    f"identifiers rows ({identifiers.shape[0]}) != "
+                    f"num_rows ({num_rows})."
+                )
+
+        num_leaves = min(self._num_leaves, num_rows)
+        capacity = self._capacity(num_leaves, num_rows)
+        packed4 = self._quantize == "int4"
+
+        # Pass 1: stride-sample rows for centroid training.
+        sample_target = min(
+            self._kmeans_sample or (1 << 21), num_rows
+        )
+        rng = np.random.RandomState(self._seed)
+        parts = []
+        seen = 0
+        for batch in factory():
+            batch = jnp.asarray(batch)
+            b = batch.shape[0]
+            take = min(b, int(np.ceil(sample_target * b / num_rows)))
+            if take:
+                idx = np.sort(rng.choice(b, size=take, replace=False))
+                parts.append(batch[jnp.asarray(idx)])
+            seen += b
+        if seen != num_rows:
+            raise ValueError(
+                f"Batches supplied {seen} rows, expected num_rows="
+                f"{num_rows}."
+            )
+        sample = jnp.concatenate(parts, axis=0).astype(jnp.float32)
+        del parts
+        centroids = kmeans_device(
+            sample, num_leaves, self._iterations, self._seed,
+            chunk=self._assign_chunk,
+        )
+        del sample
+
+        # Pass 2: top-R assignment into a device [N, R] buffer, then
+        # capacity packing; assignment maps stage on host.
+        rounds = min(self._spill_rounds, num_leaves)
+        choices = jnp.zeros((num_rows, rounds), jnp.int32)
+        off = 0
+        for batch in factory():
+            batch = jnp.asarray(batch).astype(jnp.float32)
+            ch = _topr_assign_device(
+                batch, centroids, rounds, self._assign_chunk
+            )
+            choices = factorized_top_k._write_rows(choices, ch, off)
+            off += batch.shape[0]
+        leaf_of, slot_of, unplaced = _pack_assign_device(
+            choices, num_leaves, capacity
+        )
+        if int(unplaced) > 0:
+            raise ValueError(
+                f"{int(unplaced)} rows could not be placed within their "
+                f"{rounds} nearest leaves; increase `leaf_capacity`, "
+                "`num_leaves`, or `spill_rounds`."
+            )
+        leaf_of_h = np.asarray(leaf_of)
+        slot_of_h = np.asarray(slot_of)
+        del choices, leaf_of, slot_of
+
+        # Pass 3: quantize + scatter each batch into leaf storage.
+        d = centroids.shape[1]
+        rows_buf = jnp.full((num_leaves, capacity), -1, jnp.int32)
+        valid_buf = jnp.zeros((num_leaves, capacity), bool)
+        if self._quantize:
+            bits = 4 if packed4 else 8
+            code_cap = capacity // 2 if packed4 else capacity
+            codes_buf = jnp.zeros((num_leaves, code_cap, d), jnp.int8)
+            scales_buf = jnp.zeros((num_leaves, capacity), jnp.float32)
+        else:
+            codes_buf = jnp.zeros(
+                (num_leaves, capacity, d), self._leaf_dtype
+            )
+            scales_buf = None
+        off = 0
+        for batch in factory():
+            batch = jnp.asarray(batch).astype(jnp.float32)
+            b = batch.shape[0]
+            leaf_b = jnp.asarray(leaf_of_h[off:off + b])
+            slot_b = jnp.asarray(slot_of_h[off:off + b])
+            if self._quantize:
+                codes_buf, scales_buf, rows_buf, valid_buf = (
+                    _scatter_batch_quantized(
+                        codes_buf, scales_buf, rows_buf, valid_buf,
+                        batch, leaf_b, slot_b, jnp.int32(off),
+                        threshold=self._anisotropic_threshold,
+                        bits=bits, half=capacity // 2,
+                    )
+                )
+            else:
+                codes_buf, rows_buf, valid_buf = _scatter_batch(
+                    codes_buf, rows_buf, valid_buf, batch, leaf_b,
+                    slot_b, jnp.int32(off),
+                )
+            off += b
+
+        self._centroids = centroids
+        self._leaf_embs = codes_buf
+        self._leaf_scales = scales_buf
+        self._leaf_rows = rows_buf
+        self._leaf_valid = valid_buf
+        if identifiers is None:
+            # Rows double as ids: `_search` gathers from `_leaf_ids`
+            # (aliasing `_leaf_rows` costs nothing), the bucketed path
+            # short-circuits on `_flat_ids=None`.
+            self._leaf_ids = rows_buf
+            self._flat_ids = None
+        else:
+            self._leaf_ids = _scatter_leaves(
+                identifiers, jnp.asarray(leaf_of_h),
+                jnp.asarray(slot_of_h), num_leaves, capacity,
+            )
+            self._flat_ids = (
+                identifiers if self._scoring_buckets is not None
+                else None
+            )
+        self._corpus = None
+        self._identifiers = None
+        self._num_candidates = num_rows
         self._built = True
         return self
 
