@@ -56,3 +56,34 @@ def test_head_to_head_parity(tmp_path):
     # Keep the measured table inspectable next to the test run.
     if os.environ.get("RTPU_KEEP_PARITY_TABLE"):
         shutil.copy(out, os.path.join(REPO, "docs", "PARITY_HEAD_TO_HEAD.md"))
+
+
+def test_auc_and_unified_embedding_head_to_head(tmp_path):
+    """DLRM AUC parity + the uet.ipynb three-way quality ordering,
+    against the actual reference implementation (reduced scale; the
+    full-scale table lives in docs/PARITY_HEAD_TO_HEAD.md)."""
+    out = str(tmp_path / "parity_ctr.md")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "reference_parity_ctr.py"),
+            "--examples", "30000",
+            "--epochs", "3",
+            "--batch", "4096",
+            "--tolerance", "0.05",
+            "--uet-margin", "0.02",
+            "--out", out,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=1800,
+    )
+    assert proc.returncode == 0, (
+        f"CTR parity harness failed:\n{proc.stdout[-3000:]}\n"
+        f"{proc.stderr[-2000:]}"
+    )
+    table = open(out).read()
+    assert "| DLRM test AUC |" in table
+    assert "collisionless" in table
+    assert "NO" not in table
