@@ -305,25 +305,43 @@ def sorted_block_apply(
     nb = v // br
     num_t = min(n, nb)
 
-    blocks = jnp.where(
-        sorted_ids < v, sorted_ids // br, nb
-    ).astype(jnp.int32)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), blocks[1:] != blocks[:-1]]
-    )
-    touched = jnp.sort(
-        jnp.where(first & (blocks < nb), blocks, nb)
-    )[:num_t]
-    real = touched < nb
-    touched_safe = lax.cummax(jnp.where(real, touched, 0))
-    starts = jnp.searchsorted(
-        sorted_ids, touched_safe * br, side="left"
-    ).astype(jnp.int32)
-    ends = jnp.searchsorted(
-        sorted_ids, (touched_safe + 1) * br, side="left"
-    ).astype(jnp.int32)
-    starts = jnp.where(real, starts, 0)
-    ends = jnp.where(real, ends, 0)
+    if nb <= n:
+        # Dense boundary path (the common regime: more updates than
+        # blocks): ONE searchsorted over all block boundaries gives
+        # every block's [start, end) slice directly — blocks with no
+        # updates get zero chunks and never enter the pair list, so
+        # the touched-block detection (compare + sort + cummax + two
+        # more searchsorteds, ~half the pair-list construction's
+        # small-op soup per step) disappears.
+        bounds = jnp.searchsorted(
+            sorted_ids,
+            jnp.arange(nb + 1, dtype=sorted_ids.dtype) * br,
+            side="left",
+        ).astype(jnp.int32)
+        starts = bounds[:-1]
+        ends = bounds[1:]
+        touched_safe = jnp.arange(nb, dtype=jnp.int32)
+        real = ends > starts
+    else:
+        blocks = jnp.where(
+            sorted_ids < v, sorted_ids // br, nb
+        ).astype(jnp.int32)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), blocks[1:] != blocks[:-1]]
+        )
+        touched = jnp.sort(
+            jnp.where(first & (blocks < nb), blocks, nb)
+        )[:num_t]
+        real = touched < nb
+        touched_safe = lax.cummax(jnp.where(real, touched, 0))
+        starts = jnp.searchsorted(
+            sorted_ids, touched_safe * br, side="left"
+        ).astype(jnp.int32)
+        ends = jnp.searchsorted(
+            sorted_ids, (touched_safe + 1) * br, side="left"
+        ).astype(jnp.int32)
+        starts = jnp.where(real, starts, 0)
+        ends = jnp.where(real, ends, 0)
 
     # Flatten (touched block, aligned update chunk) pairs: the grid
     # walks pairs, so the Mosaic pipeline prefetches BOTH the chunk of
