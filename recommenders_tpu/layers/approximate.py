@@ -475,7 +475,8 @@ _quantize_rows = quantization.quantize_rows
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_probes", "k", "quantized", "dedup")
+    jax.jit,
+    static_argnames=("num_probes", "k", "quantized", "dedup", "for_tpu"),
 )
 def _search(
     queries: Array,
@@ -489,6 +490,7 @@ def _search(
     k: int,
     quantized: Optional[str],
     dedup: bool = False,
+    for_tpu: Optional[bool] = None,
 ) -> Tuple[Array, Array, Array]:
     """Probe top leaves, score their rows, top-k. Returns
     (scores, identifiers, global_rows). With `dedup` (SOAR indexes pack
@@ -507,11 +509,9 @@ def _search(
     # materializes the [Q, P, cap, D] gather (17 GB at the module
     # defaults on a 1M×128 corpus); the reference formulation remains
     # for CPU and for shapes off the tiling grid.
-    if (
-        jax.default_backend() != "cpu"
-        and d % 128 == 0
-        and cap_store % 128 == 0
-    ):
+    if for_tpu is None:
+        for_tpu = jax.default_backend() != "cpu"
+    if for_tpu and d % 128 == 0 and cap_store % 128 == 0:
         scores = leaf_scoring.probed_leaf_scores(
             queries, leaf_embs, scales, probes, packed4=packed4
         )
@@ -562,7 +562,8 @@ def _dedup_topk(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_probes", "k", "quantized", "dedup", "buckets", "tile"
+        "num_probes", "k", "quantized", "dedup", "buckets", "tile",
+        "for_tpu",
     ),
 )
 def _search_bucketed(
@@ -578,6 +579,7 @@ def _search_bucketed(
     dedup: bool,
     buckets: int,
     tile: int,
+    for_tpu: Optional[bool] = None,
 ) -> Tuple[Array, Array, Array]:
     """Probed search through the bucketed-argmax kernel.
 
@@ -636,7 +638,9 @@ def _search_bucketed(
     # cap < requested buckets folds slot c into bucket c directly).
     cap_logical = leaf_embs.shape[1] * (2 if packed4 else 1)
     buckets = min(buckets, cap_logical)
-    if jax.default_backend() != "cpu" and d % 128 == 0:
+    if for_tpu is None:
+        for_tpu = jax.default_backend() != "cpu"
+    if for_tpu and d % 128 == 0:
         vals, rows = leaf_scoring.probed_bucketed_scores(
             queries, leaf_embs, scales, leaf_rows, probes, buckets,
             query_tile=tile, packed4=packed4,

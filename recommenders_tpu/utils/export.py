@@ -69,19 +69,29 @@ def _load_arrays(path: str):
     return out
 
 
-def export_fn(path: str, fn: Callable, *example_args) -> None:
+def export_fn(
+    path: str, fn: Callable, *example_args, platforms=None
+) -> None:
     """Serializes `jit(fn)` specialized to the example args' shapes.
 
     Writes two artifacts: `computation.stablehlo` (the versioned
     jax.export payload, loadable by `load_fn`) and `module.mlir` (the raw
     StableHLO module text, consumable by non-JAX hosts — e.g. the C++
     PJRT serving binary, `native/pjrt_host.cc`).
+
+    `platforms` enables cross-platform lowering (e.g. `("tpu",)` from a
+    CPU-only export process — the serving-host workflow, where the
+    single-claimant chip must stay free for the C++ binary). Pallas
+    kernels lower to Mosaic custom calls at export; the Mosaic→machine
+    compile happens on the serving host at PJRT-compile time.
     """
     specs = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
         tuple(example_args),
     )
-    exported = jax_export.export(jax.jit(fn))(*specs)
+    exported = jax_export.export(
+        jax.jit(fn), platforms=list(platforms) if platforms else None
+    )(*specs)
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _FN_FILE), "wb") as f:
         f.write(exported.serialize())
@@ -108,6 +118,7 @@ def export_index(
     index,
     example_queries: Array,
     k: int,
+    platforms=None,
 ) -> None:
     """Exports a built retrieval index's query path + its data arrays.
 
@@ -117,11 +128,21 @@ def export_index(
     is saved as npz, the query computation as StableHLO with the arrays as
     runtime arguments, so serving processes can swap corpora without
     recompiling.
+
+    `platforms=("tpu",)` cross-lowers from a CPU process for TPU serving
+    (Pallas query kernels included) — the C++-host workflow, where the
+    single-claimant chip must stay free for the serving binary.
     """
     from recommenders_tpu.layers import approximate, factorized_top_k
 
+    for_tpu = (
+        "tpu" in tuple(platforms) if platforms
+        else jax.default_backend() != "cpu"
+    )
     if isinstance(index, approximate.ScaNN):
-        return _export_scann(path, index, example_queries, k)
+        return _export_scann(
+            path, index, example_queries, k, platforms=platforms
+        )
 
     candidates = index._candidates
     if candidates is None:
@@ -155,7 +176,7 @@ def export_index(
         if scales is not None:  # Quantized Bucketed: int8 codes + scales.
 
             def query(queries, candidates, identifiers, scales):
-                scores, rows = _query_for(index)(
+                scores, rows = _query_for(index, for_tpu)(
                     queries, candidates, k, scales
                 )
                 return scores, jax.numpy.take(identifiers, rows)
@@ -164,7 +185,9 @@ def export_index(
         else:
 
             def query(queries, candidates, identifiers):
-                scores, rows = _query_for(index)(queries, candidates, k)
+                scores, rows = _query_for(index, for_tpu)(
+                    queries, candidates, k
+                )
                 return scores, jax.numpy.take(identifiers, rows)
 
             extra = ()
@@ -183,7 +206,8 @@ def export_index(
             arrays["scales"] = np.asarray(index._scales)
     _save_arrays(path, arrays)
     export_fn(
-        path, query, example_queries, candidates, identifiers, *extra
+        path, query, example_queries, candidates, identifiers, *extra,
+        platforms=platforms,
     )
 
 
@@ -218,12 +242,19 @@ def load_index(path: str) -> Callable[[Array], Tuple[Array, Array]]:
     return serve
 
 
-def _export_scann(path: str, index, example_queries: Array, k: int) -> None:
+def _export_scann(
+    path: str, index, example_queries: Array, k: int, platforms=None
+) -> None:
     """Full ScaNN serving pipeline in one exported computation: probe →
     (quantized) leaf scoring → optional exact reorder — the counterpart
     of the reference serializing the whole C++ searcher into the
     SavedModel (layers/factorized_top_k.py:728-730)."""
     from recommenders_tpu.layers import approximate
+
+    for_tpu = (
+        "tpu" in tuple(platforms) if platforms
+        else jax.default_backend() != "cpu"
+    )
 
     if not index._built:
         raise ValueError("The index must be built (`index(...)`) first.")
@@ -273,6 +304,7 @@ def _export_scann(path: str, index, example_queries: Array, k: int) -> None:
                 queries_p, a["centroids"], a["leaf_embs"],
                 a.get("leaf_scales"), a["leaf_rows"], a["flat_ids"],
                 num_probes, shortlist, quantized, dedup, buckets, tile,
+                for_tpu=for_tpu,
             )
             scores, ids, rows = scores[:qn], ids[:qn], rows[:qn]
         else:
@@ -280,6 +312,7 @@ def _export_scann(path: str, index, example_queries: Array, k: int) -> None:
                 queries, a["centroids"], a["leaf_embs"],
                 a.get("leaf_scales"), a["leaf_ids"], a["leaf_rows"],
                 a["leaf_valid"], num_probes, shortlist, quantized, dedup,
+                for_tpu=for_tpu,
             )
         if reorder_n:
             return approximate._reorder(
@@ -291,14 +324,18 @@ def _export_scann(path: str, index, example_queries: Array, k: int) -> None:
     os.makedirs(path, exist_ok=True)
     _save_arrays(path, arrays)
     export_fn(
-        path, query, example_queries, *(arrays[name] for name in names)
+        path, query, example_queries, *(arrays[name] for name in names),
+        platforms=platforms,
     )
 
 
-def _query_for(index):
+def _query_for(index, for_tpu=None):
     """Returns the pure `(queries, candidates, k) → (scores, rows)` fn."""
     from recommenders_tpu.layers import factorized_top_k
     from recommenders_tpu.ops import scoring
+
+    if for_tpu is None:
+        for_tpu = jax.default_backend() != "cpu"
 
     if isinstance(index, factorized_top_k.Bucketed):
         buckets, chunk = index._buckets, index._chunk
@@ -313,14 +350,14 @@ def _query_for(index):
             # Bake the index's full serving config into the export: the
             # VMEM-fit recipe (e.g. B=4096 needs query_tile=128 + bf16
             # corpus) must survive into the serialized kernel, not revert
-            # to defaults. Note the backend branch is resolved at export
-            # (trace) time — an artifact exported on CPU carries the jnp
-            # reference path, one exported on TPU carries the Pallas
-            # kernel.
+            # to defaults. The kernel-vs-reference branch resolves at
+            # export (trace) time from the TARGET platform (`platforms`),
+            # not the exporting process's backend — a CPU process can
+            # cross-lower the Pallas kernel for TPU serving.
             if corpus_dtype is not None:
                 queries = queries.astype(corpus_dtype)
                 candidates = candidates.astype(corpus_dtype)
-            if jax.default_backend() == "cpu":
+            if not for_tpu:
                 return scoring.bucketed_top_k_reference(
                     queries, candidates, k, buckets=buckets,
                     scales=scales, packed4=packed4, valid_rows=valid_rows,

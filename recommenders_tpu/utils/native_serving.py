@@ -143,21 +143,28 @@ class HostResult:
     compile_ms: Optional[float]
     repeat_stats: Optional[Dict[str, float]]
     stdout: str
+    pipeline_stats: Optional[Dict[str, float]] = None
 
 
-def _parse_stats(stdout: str) -> Tuple[Optional[float], Optional[dict]]:
+def _parse_stats(
+    stdout: str,
+) -> Tuple[Optional[float], Optional[dict], Optional[dict]]:
     compile_ms = None
     m = re.search(r"compile_ms: ([0-9.]+)", stdout)
     if m:
         compile_ms = float(m.group(1))
-    stats = None
-    m = re.search(r"repeat_stats: (.*)", stdout)
-    if m:
+
+    def _kv(tag: str) -> Optional[dict]:
+        m = re.search(tag + r": (.*)", stdout)
+        if not m:
+            return None
         stats = {}
         for kv in m.group(1).split():
             k, v = kv.split("=")
             stats[k] = float(v)
-    return compile_ms, stats
+        return stats
+
+    return compile_ms, _kv("repeat_stats"), _kv("pipeline_stats")
 
 
 def run_host(
@@ -168,10 +175,20 @@ def run_host(
     create_options: Optional[List[str]] = None,
     compile_options_path: Optional[str] = None,
     repeat: int = 1,
+    rotate: int = 1,
+    pipeline: bool = False,
     workdir: Optional[str] = None,
     timeout: float = 600.0,
 ) -> HostResult:
     """Runs `pjrt_host run` on `inputs`; returns outputs + timing stats.
+
+    With `rotate=R`, the first R entries of `inputs` are alternative
+    values for argument 0 and iteration i uses variant i % R — this
+    defeats the remote runtime's (program, input) result cache so
+    `--repeat` times the chip, not the cache. With `pipeline=True`, all
+    iterations dispatch back-to-back and only the last output is fenced
+    (`pipeline_stats` instead of per-iteration `repeat_stats`) — the
+    honest throughput mode on high-latency links.
 
     Raises `RuntimeError` with the host's stderr on failure.
     """
@@ -192,6 +209,10 @@ def run_host(
         cmd += ["--co", compile_options_path]
     if repeat > 1:
         cmd += ["--repeat", str(repeat)]
+    if rotate > 1:
+        cmd += ["--rotate", str(rotate)]
+    if pipeline:
+        cmd += ["--pipeline"]
     proc = subprocess.run(
         cmd, capture_output=True, text=True, env=axon_env(),
         timeout=timeout,
@@ -201,12 +222,13 @@ def run_host(
             f"pjrt_host failed (exit {proc.returncode}):\n"
             f"stdout: {proc.stdout}\nstderr: {proc.stderr}"
         )
-    compile_ms, stats = _parse_stats(proc.stdout)
+    compile_ms, stats, pipe_stats = _parse_stats(proc.stdout)
     return HostResult(
         outputs=read_tensors(out_bin),
         compile_ms=compile_ms,
         repeat_stats=stats,
         stdout=proc.stdout,
+        pipeline_stats=pipe_stats,
     )
 
 
@@ -222,6 +244,11 @@ def serve_exported_index(
     Assembles the argument list exactly as `utils.export.load_index`
     does (queries first, then the npz arrays in export order), so the
     host executes the same computation the Python path would.
+
+    `queries` of rank (R, B, d) are treated as R rotating batch
+    variants (host `--rotate R`): iteration i of `repeat` executes
+    variant i % R, which defeats the remote result cache when timing.
+    Outputs are the final iteration's.
     """
     data = np.load(os.path.join(export_dir, "arrays.npz"))
     if "centroids" in data.files:  # ScaNN artifact.
@@ -237,10 +264,18 @@ def serve_exported_index(
             args.append(data["valid"])
     module = os.path.join(export_dir, "module.mlir")
     co = os.path.join(export_dir, "compile_options.pb")
+    queries = np.asarray(queries)
+    if queries.ndim == 3:  # (R, B, d): rotating batch variants.
+        query_args = list(queries)
+        rotate = len(query_args)
+    else:
+        query_args = [queries]
+        rotate = 1
     return run_host(
         module,
-        [np.asarray(queries), *args],
+        [*query_args, *args],
         compile_options_path=co if os.path.exists(co) else None,
         repeat=repeat,
+        rotate=rotate,
         **kwargs,
     )
