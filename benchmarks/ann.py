@@ -188,6 +188,22 @@ def main():
         "capacity row) or int8 anisotropic (12.8 GB — the quality row; "
         "recall caps near the int8 ceiling instead of int4's ~0.78).",
     )
+    p.add_argument(
+        "--streaming-index", default="bucketed",
+        choices=("bucketed", "scann"),
+        help="bucketed = full scan; scann = streamed PARTITIONED build "
+        "(ScaNN.index_streamed) probing a leaf subset per query.",
+    )
+    p.add_argument("--leaves", type=int, default=8192)
+    p.add_argument("--probes", type=int, default=1024)
+    p.add_argument("--probe-tile", type=int, default=64)
+    p.add_argument(
+        "--capacity-factor", type=float, default=1.3,
+        help="Leaf capacity as a multiple of mean leaf size. Lower "
+        "saves HBM (int8 at 100M needs ~1.1 to fit) at the cost of "
+        "more overflow spilling.",
+    )
+    p.add_argument("--spill-rounds", type=int, default=4)
     p.add_argument("--build-batch", type=int, default=2_000_000)
     p.add_argument(
         "--only", default=None,
@@ -426,17 +442,50 @@ def run_streaming(args, sample, sample_t):
 
     t0 = time.time()
     quant = args.streaming_quantize
-    # int4 packs pairs across chunk/2, so its chunk doubles to keep the
-    # same VMEM block bytes; int8 uses the standard 4096 grid.
-    chunk = 8192 if quant == "int4" else 4096
-    index = factorized_top_k.Bucketed(
-        k=k, buckets=4096, chunk=chunk, query_tile=128, quantize=quant,
-    ).index_streamed(gen_batches(), num_rows=n)
-    jax.block_until_ready(index._candidates)
-    build_s = time.time() - t0
-    print(f"streamed {quant} build: {build_s:.0f}s "
-          f"({index._candidates.nbytes / 2**30:.1f} GiB packed)",
-          file=sys.stderr)
+    if args.streaming_index == "scann":
+        from recommenders_tpu.layers import approximate
+
+        leaves = args.leaves
+        grain = 256 if quant == "int4" else 128
+        mean = n / leaves
+        cap = int(np.ceil(args.capacity_factor * mean / grain)) * grain
+        index = approximate.ScaNN(
+            k=k, num_leaves=leaves,
+            num_leaves_to_search=args.probes,
+            quantize=quant, leaf_capacity=cap,
+            scoring_buckets=4096, probe_tile=args.probe_tile,
+            query_batch=qn, kmeans_sample_size=1 << 21,
+            training_iterations=8, spill_rounds=args.spill_rounds,
+        )
+        index.index_streamed(gen_batches, num_rows=n)
+        jax.block_until_ready(index._leaf_embs)
+        build_s = time.time() - t0
+        name = (
+            f"scann_L{leaves}_P{args.probes}_{quant}_B4096"
+            f"_T{args.probe_tile}_cap{args.capacity_factor}_streamed"
+        )
+        index_bytes = (
+            index._leaf_embs.nbytes
+            + index._leaf_scales.nbytes
+            + index._leaf_rows.nbytes
+        )
+        print(f"streamed partitioned {quant} build: {build_s:.0f}s "
+              f"({index_bytes / 2**30:.1f} GiB leaves)", file=sys.stderr)
+    else:
+        # int4 packs pairs across chunk/2, so its chunk doubles to keep
+        # the same VMEM block bytes; int8 uses the standard 4096 grid.
+        chunk = 8192 if quant == "int4" else 4096
+        index = factorized_top_k.Bucketed(
+            k=k, buckets=4096, chunk=chunk, query_tile=128,
+            quantize=quant,
+        ).index_streamed(gen_batches(), num_rows=n)
+        jax.block_until_ready(index._candidates)
+        build_s = time.time() - t0
+        name = f"bucketed_{quant}_4096_streamed"
+        index_bytes = index._candidates.nbytes + index._scales.nbytes
+        print(f"streamed {quant} build: {build_s:.0f}s "
+              f"({index._candidates.nbytes / 2**30:.1f} GiB packed)",
+              file=sys.stderr)
 
     @functools.partial(
         jax.jit, static_argnames=("k",), donate_argnums=(2, 3)
@@ -476,12 +525,10 @@ def run_streaming(args, sample, sample_t):
     _, got = index(fixed_queries, k)
     rec = _recall(np.asarray(got), truth)
     entry = {
-        "config": f"bucketed_{quant}_4096_streamed",
+        "config": name,
         "qps": round(qps),
         "recall_at_100": round(rec, 4),
-        "index_mb": round(
-            (index._candidates.nbytes + index._scales.nbytes) / 2**20
-        ),
+        "index_mb": round(index_bytes / 2**20),
         "build_s": round(build_s, 1),
     }
     print(f"  {entry['config']}: {qps:,.0f} q/s, recall@{k} {rec:.4f}",
