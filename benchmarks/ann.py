@@ -440,6 +440,38 @@ def run_streaming(args, sample, sample_t):
             m = min(bchunk, n - i * bchunk)
             yield sample_t(m, jnp.uint32(i))
 
+    # Ground truth FIRST, while HBM is empty: the exact scan's working
+    # set (regenerated 1 GB f32 batches + scores) must not coexist with
+    # a near-capacity index (the 13.4 GB int8 ScaNN build left no room
+    # and the post-build scan OOMed).
+    @functools.partial(
+        jax.jit, static_argnames=("k",), donate_argnums=(2, 3)
+    )
+    def truth_step(queries, batch, s, i, base, k):
+        scores = queries @ batch.T
+        ids = base + jnp.arange(scores.shape[1], dtype=jnp.int32)
+        cs = jnp.concatenate([s, scores], axis=1)
+        ci = jnp.concatenate(
+            [i, jnp.broadcast_to(ids, scores.shape)], axis=1
+        )
+        ts, ti = jax.lax.top_k(cs, k)
+        return ts, jnp.take_along_axis(ci, ti, axis=1)
+
+    fixed_queries = sample(qn, 1 << 30)
+    t0 = time.time()
+    s = jnp.full((qn, k), -jnp.inf, jnp.float32)
+    ids = jnp.zeros((qn, k), jnp.int32)
+    for b in range(nb):
+        m = min(bchunk, n - b * bchunk)
+        batch = sample_t(m, jnp.uint32(b))
+        s, ids = truth_step(
+            fixed_queries, batch, s, ids, jnp.int32(b * bchunk), k
+        )
+    truth = np.asarray(ids)
+    del s, ids, batch
+    print(f"ground truth (regenerated scan) in {time.time() - t0:.0f}s",
+          file=sys.stderr)
+
     t0 = time.time()
     quant = args.streaming_quantize
     if args.streaming_index == "scann":
@@ -486,33 +518,6 @@ def run_streaming(args, sample, sample_t):
         print(f"streamed {quant} build: {build_s:.0f}s "
               f"({index._candidates.nbytes / 2**30:.1f} GiB packed)",
               file=sys.stderr)
-
-    @functools.partial(
-        jax.jit, static_argnames=("k",), donate_argnums=(2, 3)
-    )
-    def truth_step(queries, batch, s, i, base, k):
-        scores = queries @ batch.T
-        ids = base + jnp.arange(scores.shape[1], dtype=jnp.int32)
-        cs = jnp.concatenate([s, scores], axis=1)
-        ci = jnp.concatenate(
-            [i, jnp.broadcast_to(ids, scores.shape)], axis=1
-        )
-        ts, ti = jax.lax.top_k(cs, k)
-        return ts, jnp.take_along_axis(ci, ti, axis=1)
-
-    fixed_queries = sample(qn, 1 << 30)
-    t0 = time.time()
-    s = jnp.full((qn, k), -jnp.inf, jnp.float32)
-    ids = jnp.zeros((qn, k), jnp.int32)
-    for b in range(nb):
-        m = min(bchunk, n - b * bchunk)
-        batch = sample_t(m, jnp.uint32(b))
-        s, ids = truth_step(
-            fixed_queries, batch, s, ids, jnp.int32(b * bchunk), k
-        )
-    truth = np.asarray(ids)
-    print(f"ground truth (regenerated scan) in {time.time() - t0:.0f}s",
-          file=sys.stderr)
 
     seed0 = int(time.time())
     salt = [1 << 20]

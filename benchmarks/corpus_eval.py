@@ -31,6 +31,147 @@ sys.path.insert(
 import numpy as np  # noqa: E402
 
 
+def overlap_demo(args, rng):
+    """Separates the streamed scan's link / compute / overlap costs.
+
+    Four timings over the SAME chunk grid (fresh data everywhere, every
+    region fenced by a device→host fetch):
+
+      link_only   — device_put every chunk, an O(1) jitted touch per
+                    chunk (forces the buffer materialized), no scoring.
+      compute_only— the streamed path's own `_streaming_merge_step`
+                    over a device-resident 4-chunk pool, chained state,
+                    one end fence: the device work the stream must hide.
+      overlapped  — `Streaming.index_from_dataset` (the production
+                    path: next chunk's async h2d issued before the
+                    current chunk's merge dispatch).
+      serialized  — the same loop with a device→host fence after EVERY
+                    chunk, deliberately breaking the overlap: each
+                    chunk pays transfer + compute + the tunnel's
+                    dispatch/ack round-trip in sequence.
+
+    The mechanism proof: overlapped ≈ link_only (compute + dispatch
+    fully hidden behind the transfer stream), while serialized ≈
+    link + compute + chunks × round-trip. On this ~25 MB/s tunnel the
+    link dominates (compute is 1-2% of it); on pod hardware with
+    ~100 GB/s DMA the same mechanism hides the transfer behind compute
+    instead — the regime the reference's ">2× eval" claim lives in
+    (CHANGELOG.md 0.2.0).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from recommenders_tpu.layers import factorized_top_k as ftk
+
+    d, qn, k = args.dim, args.queries, 100
+    hn = args.host_corpus
+    chunk = args.chunk
+    n_chunks = (hn + chunk - 1) // chunk
+    queries = jnp.asarray(
+        rng.normal(size=(qn, d)).astype(np.float32)
+    )
+    print(
+        f"overlap demo: {hn:,} x {d} host corpus, {n_chunks} chunks of "
+        f"{chunk:,} ({hn * d * 4 / 2**30:.2f} GiB), {qn:,} queries",
+        file=sys.stderr,
+    )
+    host_corpus = np.empty((hn, d), np.float32)
+    for start in range(0, hn, 1 << 20):
+        end = min(start + (1 << 20), hn)
+        host_corpus[start:end] = rng.normal(
+            size=(end - start, d)
+        ).astype(np.float32)
+
+    def chunks():
+        for start in range(0, hn, chunk):
+            yield host_corpus[start:start + chunk]
+
+    results = {}
+
+    # --- link_only ----------------------------------------------------
+    touch = jax.jit(lambda acc, emb: acc + emb[0, 0])
+    acc = jnp.zeros((), jnp.float32)
+    np.asarray(acc)
+    t0 = time.perf_counter()
+    for c in chunks():
+        acc = touch(acc, jax.device_put(c))
+    np.asarray(acc)  # Fences every transfer (each buffer must land).
+    t_link = time.perf_counter() - t0
+
+    # --- compute_only ---------------------------------------------------
+    # The same merge program the stream runs, over a device-resident
+    # 4-chunk rotating pool (distinct inputs + chained state defeat the
+    # chip's (program, input) result cache); first call compiles outside
+    # the timed region.
+    pool = [
+        (
+            jnp.arange(chunk, dtype=jnp.int32) + i * chunk,
+            jax.device_put(host_corpus[i * chunk:(i + 1) * chunk]),
+        )
+        for i in range(min(4, n_chunks))
+    ]
+    state = (
+        jnp.full((qn, k), ftk.MIN_FLOAT, dtype=jnp.float32),
+        jnp.zeros((qn, k), dtype=jnp.int32),
+    )
+    warm = ftk._streaming_merge_step(
+        queries, pool[0][1], pool[0][0], state, k
+    )
+    np.asarray(warm[0][0, 0])
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        ids, emb = pool[i % len(pool)]
+        state = ftk._streaming_merge_step(queries, emb, ids, state, k)
+    np.asarray(state[0][0, 0])
+    t_compute = time.perf_counter() - t0
+    del state, pool
+
+    # --- overlapped (the production streamed path) ---------------------
+    stream = ftk.Streaming(k=k).index_from_dataset(chunks)
+    t0 = time.perf_counter()
+    scores, _ = stream(queries, k=k)
+    np.asarray(scores[0, 0])
+    t_overlap = time.perf_counter() - t0
+
+    # --- serialized -----------------------------------------------------
+    state = (
+        jnp.full((qn, k), ftk.MIN_FLOAT, dtype=jnp.float32),
+        jnp.zeros((qn, k), dtype=jnp.int32),
+    )
+    counter = 0
+    t0 = time.perf_counter()
+    for c in chunks():
+        ids = counter + jnp.arange(c.shape[0], dtype=jnp.int32)
+        counter += c.shape[0]
+        emb = jax.device_put(c)
+        state = ftk._streaming_merge_step(queries, emb, ids, state, k)
+        np.asarray(state[0][0, 0])  # Breaks the overlap on purpose.
+    t_serial = time.perf_counter() - t0
+
+    hidden = t_link + t_compute - t_overlap
+    results = {
+        "link_only_s": round(t_link, 2),
+        "compute_only_s": round(t_compute, 2),
+        "overlapped_s": round(t_overlap, 2),
+        "serialized_s": round(t_serial, 2),
+        "overlap_vs_link_ratio": round(t_overlap / t_link, 3),
+        "serialized_vs_overlapped": round(t_serial / t_overlap, 3),
+        "hidden_work_s": round(hidden, 2),
+        "link_gibps": round(hn * d * 4 / t_link / 2**30, 3),
+        "overlapped_ingest_gibps": round(
+            hn * d * 4 / t_overlap / 2**30, 3
+        ),
+    }
+    print(
+        f"link {t_link:.1f}s, compute {t_compute:.1f}s, overlapped "
+        f"{t_overlap:.1f}s (={t_overlap / t_link:.2f}x link), "
+        f"serialized {t_serial:.1f}s "
+        f"(={t_serial / t_overlap:.2f}x overlapped)",
+        file=sys.stderr,
+    )
+    print(json.dumps(results))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--corpus", type=int, default=1_000_000)
@@ -40,6 +181,14 @@ def main():
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--chunk", type=int, default=1 << 17)
     p.add_argument("--skip-host", action="store_true")
+    p.add_argument(
+        "--overlap-demo", action="store_true",
+        help="Mechanism proof for the streamed path's double-buffering "
+        "(VERDICT r2 item 8): measures the link cost, the compute "
+        "cost, the overlapped stream, and a deliberately serialized "
+        "stream SEPARATELY over the same chunks, then reports how "
+        "much compute the overlap hid.",
+    )
     args = p.parse_args()
 
     import jax
@@ -54,6 +203,9 @@ def main():
     d, qn = args.dim, args.queries
     queries_host = rng.normal(size=(qn, d)).astype(np.float32)
     k = 100
+
+    if args.overlap_demo:
+        return overlap_demo(args, rng)
 
     # --- Device-resident corpus: jit step vs python loop --------------
     n = args.corpus

@@ -291,15 +291,20 @@ class Streaming(TopK):
         return self._host_streamed_query(queries, k)
 
     def _host_streamed_query(
-        self, queries: Array, k: int
+        self, queries: Array, k: int, prefetch: int = 2
     ) -> Tuple[Array, Array]:
-        """Streams host batches with one-step transfer prefetch.
+        """Streams host batches with `prefetch`-deep transfer prefetch.
 
-        The next batch's host→device copy is issued while the current
-        batch's jitted score+merge executes (the double-buffering tf.data
-        provides the reference's Streaming layer, here via async
-        `device_put`); the merge chain itself keeps the device busy.
+        Up to `prefetch` batches' host→device copies are in flight while
+        the current batch's jitted score+merge executes (the
+        double-buffering tf.data provides the reference's Streaming
+        layer, here via async `device_put`); the merge chain itself
+        keeps the device busy. Depth 2 hides the host-side staging of
+        batch i+2 behind the still-running transfer of batch i+1
+        (measured in `benchmarks/corpus_eval.py --overlap-demo`).
         """
+        import collections
+
         q = queries.shape[0]
         state = None
         counter = 0
@@ -317,19 +322,25 @@ class Streaming(TopK):
             return ids, emb
 
         it = iter(self._dataset_factory())
-        try:
-            pending = to_device(next(it), counter)
-        except StopIteration:
-            raise ValueError(
-                "The candidates dataset must not be empty."
-            ) from None
-        while pending is not None:
-            ids, emb = pending
-            counter += emb.shape[0]
-            try:
-                pending = to_device(next(it), counter)
-            except StopIteration:
-                pending = None
+        staged = collections.deque()
+
+        def refill():
+            while len(staged) < max(1, prefetch):
+                nonlocal counter
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    return
+                pair = to_device(batch, counter)
+                counter += pair[1].shape[0]
+                staged.append(pair)
+
+        refill()
+        if not staged:
+            raise ValueError("The candidates dataset must not be empty.")
+        while staged:
+            ids, emb = staged.popleft()
+            refill()
             if state is None:
                 state = (
                     jnp.full((q, k), MIN_FLOAT, dtype=jnp.float32),
