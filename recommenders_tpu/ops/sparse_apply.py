@@ -76,10 +76,14 @@ def counter_random_u32(
     """Stateless counter-based random bits (murmur3 finalizer).
 
     Position-hashed, so it needs no PRNG state and lowers everywhere
-    (Mosaic AND CPU interpret — `pltpu.prng_seed` has no CPU lowering),
-    making kernel runs bit-identical across compiled and interpreted
-    backends. Quality is far beyond what unbiased rounding needs (the
-    finalizer passes SmallCrush); NOT for cryptography or model-rng.
+    (including CPU interpret mode, where `pltpu.prng_seed` has no
+    lowering) — the INTERPRET-mode randomness source for stochastic
+    rounding. Compiled kernels use the on-core hardware PRNG instead
+    (~10× cheaper; the hash cost ~130 us/step at the headline shape),
+    so SR output parity between compiled and interpreted runs is
+    statistical, not bitwise. Hash quality is far beyond what unbiased
+    rounding needs (the finalizer passes SmallCrush); NOT for
+    cryptography or model-rng.
     """
     r, c = shape
     pos = (
@@ -137,6 +141,7 @@ def _kernel(
     d_grad: int,
     num_pairs: int,
     use_sr: bool,
+    use_hw_rng: bool,
     out_dtypes: Tuple,
 ):
     ins = refs[:num_state]
@@ -151,12 +156,16 @@ def _kernel(
         p == num_pairs - 1, block_ref[p] != block_ref[p + 1]
     )
 
-    # Row ids ride bitcast-f32 in lane d+1 of the one augmented lane
-    # group (not a separate group: at d=64 that halves the update
-    # stream's DMA and VMEM footprint).
-    ids = lax.bitcast_convert_type(
-        aug_ref[:, d + 1:d + 2], jnp.int32
-    )                                            # [chunk, 1]
+    # The augmented stream arrives as INT32 (bit-identical container)
+    # and the grad lanes bitcast back to f32 here. Row ids ride in lane
+    # d+1 of the one augmented lane group (not a separate group: at
+    # d=64 that halves the update stream's DMA and VMEM footprint).
+    # The container must not be f32: every vocab id bitcasts to an f32
+    # DENORMAL (ids < 2^23 have a zero exponent), and the compiled f32
+    # load path flushes denormals to zero — on hardware every id read
+    # back 0 and all of a block's updates routed to its row 0
+    # (interpret mode preserved bits, so CPU tests never saw it).
+    ids = aug_ref[:, d + 1:d + 2]                # [chunk, 1] int32
     # Entries outside this block's [s, e) range (edge entries of a
     # shared chunk, padding, sentinel pairs) route to no row.
     idx = chunk_ref[p] * chunk + lax.broadcasted_iota(
@@ -170,7 +179,9 @@ def _kernel(
     # side needs splitting — g = hi + lo with both parts bf16 gives
     # each product exactly and ~16 mantissa bits on the sum (f32
     # accumulation), vs bf16's 8 on a single DEFAULT pass.
-    g = aug_ref[:, :d_grad]
+    g = lax.bitcast_convert_type(
+        aug_ref[:, :d_grad], jnp.float32
+    )
     # Zero the id lane so the routed output stays clean garbage-free
     # (bitcast ids are finite for any real vocab, but keep the routed
     # accumulator exact zeros outside [:, :d+1]).
@@ -199,19 +210,33 @@ def _kernel(
         if num_scalars:
             args.append(tuple(sc_ref[k] for k in range(num_scalars)))
         new_blocks = block_update(*args)
+        if use_sr and use_hw_rng:
+            # On-core hardware PRNG, seeded per (step-seed, block):
+            # sequential draws below give each bf16 array distinct
+            # bits, and the write happens once per block (is_last), so
+            # no position is rounded twice with the same bits. ~10×
+            # cheaper than the murmur counter hash, which cost
+            # ~130 us/step at the headline shape (12.6M written
+            # elements × ~12 VPU ops each).
+            pltpu.prng_seed(seed_ref[0], block_ref[p])
         for idx, (o, nb, dt) in enumerate(
             zip(outs, new_blocks, out_dtypes)
         ):
             if use_sr and dt == jnp.bfloat16:
-                # Stream = (block index, state array): every (row, col,
-                # block, array, step-seed) gets independent bits; the
-                # write happens once per block (is_last), so no
-                # position is rounded twice with the same bits.
-                bits = counter_random_u32(
-                    seed_ref[0],
-                    block_ref[p] * jnp.int32(num_state) + jnp.int32(idx),
-                    nb.shape,
-                )
+                if use_hw_rng:
+                    bits = lax.bitcast_convert_type(
+                        pltpu.prng_random_bits(nb.shape), jnp.uint32
+                    )
+                else:
+                    # Counter hash: position-deterministic, lowers in
+                    # CPU interpret mode where prng_seed does not.
+                    # Stream = (block index, state array).
+                    bits = counter_random_u32(
+                        seed_ref[0],
+                        block_ref[p] * jnp.int32(num_state)
+                        + jnp.int32(idx),
+                        nb.shape,
+                    )
                 o[...] = stochastic_round_bf16(nb, bits)
             else:
                 o[...] = nb.astype(dt)
@@ -377,24 +402,28 @@ def sorted_block_apply(
     s_pair = jnp.where(in_range, starts[t_of], 0)
     e_pair = jnp.where(in_range, ends[t_of], 0)
 
-    # Augmented update rows: [grad (d) | ones-lane | row id bitcast to
-    # f32 | zero pad to a 128-multiple] — ONE lane group when d ≤ 126,
-    # so the update stream (DMA + VMEM) carries no all-padding group.
+    # Augmented update rows: [grad (d) | ones-lane | row id | zero pad
+    # to a 128-multiple] — ONE lane group when d ≤ 126, so the update
+    # stream (DMA + VMEM) carries no all-padding group. The container
+    # is INT32 (grad lanes bitcast) because the compiled f32 load path
+    # flushes denormals — which every bitcast id would be (see the id
+    # read in `_kernel`).
     d_grad = -(-(d + 2) // _LANES) * _LANES
     d_aug = d_grad
-    ones = jnp.ones((n, 1), sorted_grads.dtype)
-    id_lane = lax.bitcast_convert_type(
-        sorted_ids.astype(jnp.int32), jnp.float32
-    )[:, None]
-    aug = jnp.concatenate(
-        [
-            sorted_grads,
-            ones,
-            id_lane,
-            jnp.zeros((n, d_grad - d - 2), sorted_grads.dtype),
-        ],
-        axis=1,
+    ones = jnp.ones((n, 1), jnp.float32)
+    aug = lax.bitcast_convert_type(
+        jnp.concatenate(
+            [
+                sorted_grads.astype(jnp.float32),
+                ones,
+                jnp.zeros((n, d_grad - d - 2 + 1), jnp.float32),
+            ],
+            axis=1,
+        ),
+        jnp.int32,
     )
+    id_col = d + 1
+    aug = aug.at[:, id_col].set(sorted_ids.astype(jnp.int32))
     pad_rows = (-n) % chunk
     aug = jnp.pad(aug, ((0, pad_rows), (0, 0)))
 
@@ -421,6 +450,7 @@ def sorted_block_apply(
         d_grad=d_grad,
         num_pairs=num_pairs,
         use_sr=use_sr,
+        use_hw_rng=not interpret,
         out_dtypes=tuple(st.dtype for st in states),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -463,7 +493,7 @@ def sorted_block_apply(
         interpret=interpret,
     )(
         block_list, chunk_list, s_pair, e_pair, sc, seed,
-        aug.astype(jnp.float32), *states,
+        aug, *states,
     )
 
 

@@ -191,6 +191,44 @@ def test_embedding_engine_step_on_chip():
     """)
 
 
+def test_sparse_apply_kernel_routing_on_chip():
+    """COMPILED sorted_block_apply matches the numpy scatter oracle.
+
+    Regression test for the id-lane denormal flush: ids bitcast into an
+    f32 stream are denormals (every vocab id < 2^23), and the compiled
+    f32 load path flushed them to zero — every block's updates routed
+    to its row 0. Interpret mode preserved bits, so only an on-chip
+    oracle-equality check catches this class of bug (the old on-chip
+    test only asserted 'loss finite and table changed')."""
+    _run_on_tpu("""
+        import sys; sys.path.insert(0, ".")
+        import numpy as np, jax, jax.numpy as jnp
+        from recommenders_tpu.ops import sparse_apply
+
+        def sgd_rule(states, g, count, sc):
+            (table,) = states
+            return [table - sc[0] * g]
+
+        for d, br in ((64, 2048), (128, 256)):
+            v, n, chunk = 65536, 4096, 128
+            table = jnp.zeros((v, d), jnp.float32)
+            rng = np.random.RandomState(d + br)
+            ids = jnp.sort(jnp.asarray(
+                rng.randint(0, v, n), jnp.int32))
+            gvals = rng.normal(size=(n, d)).astype(np.float32)
+            (out,) = sparse_apply.sorted_block_apply(
+                (table,), ids, jnp.asarray(gvals), sgd_rule,
+                scalars=jnp.asarray([-1.0], jnp.float32),
+                block_rows=br, chunk=chunk,
+            )
+            expect = np.zeros((v, d), np.float32)
+            np.add.at(expect, np.asarray(ids), gvals)
+            np.testing.assert_allclose(
+                np.asarray(out), expect, rtol=3e-5, atol=3e-5)
+        print("kernel routing oracle ok")
+    """)
+
+
 def test_quantized_bucketed_kernel_compiled_on_chip():
     """The int8 dequantizing Bucketed kernel lowers through Mosaic and
     matches the jnp oracle with identical quantization inputs."""
