@@ -151,6 +151,10 @@ def main():
         slot_dtype=jnp.bfloat16 if bf16_slots else None,
         stack_tables=stacked,
         sparse_update_kernel=False if round1 else None,
+        # BENCH_FAST_ROUTING=1: single-pass bf16 grad routing in the
+        # update kernel (~45 us/step) — measured, off by default
+        # (quality-first defaults; the parity head-to-head ran exact).
+        exact_grad_routing=os.environ.get("BENCH_FAST_ROUTING") != "1",
     )
     state = engine.init(jax.random.PRNGKey(0))
     task = tasks_lib.Retrieval(
@@ -290,6 +294,8 @@ def main():
     mode += "_bf16tables_sr" if bf16_tables else "_f32tables"
     if bf16_slots:
         mode += "_bf16slots"
+    if os.environ.get("BENCH_FAST_ROUTING") == "1":
+        mode += "_fastrouting"
     mode += "_stacked" if stacked else "_unstacked"
     print(
         json.dumps(

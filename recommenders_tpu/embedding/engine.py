@@ -103,6 +103,11 @@ class EmbeddingEngine:
         instead of vanishing — the production recipe for half-precision
         embedding training). No effect on f32 state. The GSPMD scatter
         path rounds to nearest regardless.
+      exact_grad_routing: The update kernel's grad-routing matmul uses
+        a bf16 hi+lo split (near-f32 exact duplicate sums; default).
+        False = one bf16 pass: ~8 mantissa bits on the routed sums,
+        ~45 us/step faster at the headline shape — opt in where grad
+        precision tolerates bf16 (most CTR workloads).
       stack_tables: Store tables that share (dim, optimizer) as row
         ranges of ONE physical array — the TF TPU embedding engine's
         table stacking (the reference's backing API stacks compatible
@@ -131,6 +136,7 @@ class EmbeddingEngine:
         slot_dtype=None,
         stochastic_rounding: bool = True,
         stack_tables: bool = False,
+        exact_grad_routing: bool = True,
     ) -> None:
         if row_sharding not in ("div", "mod"):
             raise ValueError(
@@ -151,6 +157,7 @@ class EmbeddingEngine:
         self.slot_dtype = slot_dtype  # None → f32 (see init_slots)
         self.stochastic_rounding = stochastic_rounding
         self.stack_tables = stack_tables
+        self.exact_grad_routing = exact_grad_routing
 
         self._tables: Dict[str, config_lib.TableConfig] = {}
         for fc in self.feature_configs:
@@ -460,6 +467,7 @@ class EmbeddingEngine:
                 max_unique=max_unique,
                 use_kernel=use_kernel,
                 sr_seed=sr_seed,
+                exact_routing=self.exact_grad_routing,
             )
         return EngineState(
             tables=tables, slots=slots, step=state.step + 1

@@ -228,6 +228,7 @@ def _apply_sparse_kernel(
     block_rows: Optional[int] = None,
     chunk: int = 128,
     sr_seed: Optional[Array] = None,
+    exact_routing: bool = True,
 ) -> Optional[Tuple[Array, Slots]]:
     """Blocked-kernel formulation of `apply_sparse`; None if unsupported.
 
@@ -301,6 +302,7 @@ def _apply_sparse_kernel(
         block_rows=block_rows,
         chunk=chunk,
         stochastic_round_seed=sr_seed,
+        exact_routing=exact_routing,
         interpret=jax.default_backend() != "tpu",
     )
     new_slots = dict(slots)
@@ -319,6 +321,7 @@ def apply_sparse(
     max_unique: Optional[int] = None,
     use_kernel: bool = False,
     sr_seed: Optional[Array] = None,
+    exact_routing: bool = True,
 ) -> Tuple[Array, Slots]:
     """Applies one sparse update. `ids: [n]`, `grads: [n, dim]`.
 
@@ -344,7 +347,7 @@ def apply_sparse(
     if use_kernel and spec.kind in KERNEL_KINDS:
         result = _apply_sparse_kernel(
             spec, table, slots, ids, grads, step, max_unique,
-            sr_seed=sr_seed,
+            sr_seed=sr_seed, exact_routing=exact_routing,
         )
         if result is not None:
             return result

@@ -142,6 +142,7 @@ def _kernel(
     num_pairs: int,
     use_sr: bool,
     use_hw_rng: bool,
+    exact_routing: bool,
     out_dtypes: Tuple,
 ):
     ins = refs[:num_state]
@@ -188,9 +189,6 @@ def _kernel(
     g = jnp.where(
         lax.broadcasted_iota(jnp.int32, g.shape, 1) == d + 1, 0.0, g
     )
-    g_hi = g.astype(jnp.bfloat16)
-    g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
     def route(part):
         return lax.dot_general(
             onehot_t,
@@ -199,7 +197,15 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )
 
-    contrib = route(g_hi) + route(g_lo)          # [R, d_grad] f32
+    g_hi = g.astype(jnp.bfloat16)
+    if exact_routing:
+        g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        contrib = route(g_hi) + route(g_lo)      # [R, d_grad] f32
+    else:
+        # Single bf16 pass: ~8 mantissa bits on the routed grad sums
+        # (f32 accumulation across the chunk). Halves the routing MXU
+        # time; opt-in where grad precision tolerates bf16.
+        contrib = route(g_hi)
 
     def finish(g_full):
         g = g_full[:, :d]
@@ -277,6 +283,7 @@ def sorted_block_apply(
     block_rows: int = 512,
     chunk: int = 128,
     stochastic_round_seed: Optional[Array] = None,
+    exact_routing: bool = True,
     interpret: bool = False,
     _alias: bool = True,
 ) -> Tuple[Array, ...]:
@@ -305,6 +312,10 @@ def sorted_block_apply(
         (`stochastic_round_bf16`) using the on-core PRNG seeded from
         (seed, grid step); other dtypes round as usual. Pass a
         per-(step, table) seed so streams never repeat.
+      exact_routing: route gradients through the MXU as a bf16 hi+lo
+        split (near-f32 exact sums; default) vs a single bf16 pass
+        (~8 mantissa bits on the routed sums, half the routing MXU
+        time — measured −35 us at the headline shape).
       block_rows: rows per streamed table block (auto-shrunk to divide
         V). Smaller blocks help when updates are sparse relative to V
         (fewer untouched rows streamed); bigger blocks amortize DMA.
@@ -451,6 +462,7 @@ def sorted_block_apply(
         num_pairs=num_pairs,
         use_sr=use_sr,
         use_hw_rng=not interpret,
+        exact_routing=exact_routing,
         out_dtypes=tuple(st.dtype for st in states),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
