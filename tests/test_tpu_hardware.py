@@ -349,3 +349,81 @@ def test_packed4_kernels_compiled_on_chip():
         assert agree2 >= 0.99, f"bucketed-leaf packed4 agreement {agree2}"
         print("packed4 kernels ok", agree, err, agree2)
     """)
+
+
+def test_engine_training_quality_on_chip(tmp_path):
+    """COMPILED-kernel training on the chip reaches the same loss as
+    the interpreted CPU path on identical data.
+
+    End-to-end quality guard for the whole compiled update path (sort,
+    pair list, routing matmul, rule, write-back): the denormal-routing
+    bug would have trained row 0 of every block and failed the loss
+    bound by an order of magnitude, while 'loss finite' checks passed.
+    """
+    work = str(tmp_path)
+    script = """
+        import sys; sys.path.insert(0, ".")
+        import functools
+        import numpy as np, jax, jax.numpy as jnp
+        from recommenders_tpu import tasks as tasks_lib
+        from recommenders_tpu.embedding import config as cfg
+        from recommenders_tpu.embedding.engine import EmbeddingEngine
+
+        B, D, V_U, V_I, STEPS = 512, 32, 2048, 4096, 200
+        rng = np.random.RandomState(7)
+        users = rng.randint(0, V_U, (STEPS, B)).astype(np.int32)
+        # Learnable structure: each user has one true item, so the
+        # in-batch softmax loss falls well below its ln(B) start only
+        # if updates actually land on the right embedding rows.
+        batches = {
+            "user_id": jnp.asarray(users),
+            "item_id": jnp.asarray((users * 7 + 3) %% V_I),
+        }
+        eng = EmbeddingEngine(
+            (cfg.FeatureConfig(table=cfg.TableConfig(V_U, D, name="u"),
+                               name="user_id"),
+             cfg.FeatureConfig(table=cfg.TableConfig(V_I, D, name="i"),
+                               name="item_id")),
+            optimizer=cfg.OptimizerSpec(kind="adagrad",
+                                        learning_rate=0.2),
+            %s
+        )
+        state = eng.init(jax.random.PRNGKey(0))
+        task = tasks_lib.Retrieval()
+
+        def loss_of(acts):
+            return task(acts["user_id"], acts["item_id"]).loss
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train(state, bs):
+            def body(st, b):
+                s2, l, _ = eng.grad_and_update(st, b, loss_of)
+                return s2, l
+            return jax.lax.scan(body, state, bs)
+
+        state, losses = train(state, batches)
+        print("FINAL_LOSS",
+              float(np.asarray(losses)[-10:].mean()) / B)
+    """
+    out_tpu = _run_on_tpu(script % "sparse_update_kernel=True,")
+    loss_tpu = float(out_tpu.split("FINAL_LOSS")[1].strip())
+
+    # CPU twin: same data/seed, interpreted kernel path.
+    proc = subprocess.run(
+        ["python", "-c", textwrap.dedent(
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            + textwrap.dedent(script % "sparse_update_kernel=True,")
+        )],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"}, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    loss_cpu = float(proc.stdout.split("FINAL_LOSS")[1].strip())
+
+    # Per-example in-batch softmax loss starts at ln(512) = 6.24; with
+    # one true item per user, 200 Adagrad steps pull it far below 4.
+    # Mis-routed updates leave it pinned near the start (the denormal
+    # bug measured 6.3 here). CPU and TPU differ only by MXU bf16
+    # rounding in the loss matmuls.
+    assert loss_tpu < 4.0, (loss_tpu, loss_cpu)
+    assert abs(loss_tpu - loss_cpu) < 0.3, (loss_tpu, loss_cpu)
