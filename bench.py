@@ -151,9 +151,11 @@ def main():
         slot_dtype=jnp.bfloat16 if bf16_slots else None,
         stack_tables=stacked,
         sparse_update_kernel=False if round1 else None,
-        # BENCH_FAST_ROUTING=1: single-pass bf16 grad routing in the
-        # update kernel (~45 us/step) — measured, off by default
-        # (quality-first defaults; the parity head-to-head ran exact).
+        # BENCH_FAST_ROUTING=1: hi-lane-only bf16 grad routing. Since
+        # the packed one-pass exact routing landed (hi+lo share the
+        # matmul; Adagrad's count-free path fits one 128-lane tile at
+        # d=64) this buys nothing at the headline shape — kept as a
+        # probe knob for wider-row configs.
         exact_grad_routing=os.environ.get("BENCH_FAST_ROUTING") != "1",
     )
     state = engine.init(jax.random.PRNGKey(0))

@@ -50,26 +50,32 @@ def main():
         rng.normal(size=(N, DIM)).astype(np.float32)
     ) * 1e-3
 
-    def timed(name, br, chunk, use_sr):
+    def timed(name, br, chunk, use_sr, need_count=True, sts0=None,
+              rule_=None, scalars_=None):
+        rule_ = rule_ or rule
+        scalars_ = scalars if scalars_ is None else scalars_
+        sts0 = sts0 if sts0 is not None else (table, slot)
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run(sts, salts):
             def body(sts, salt):
                 new = sparse_apply.sorted_block_apply(
-                    sts, pre, grads * (1.0 + salt * 1e-9), rule,
-                    scalars=scalars, block_rows=br, chunk=chunk,
+                    sts, pre, grads * (1.0 + salt * 1e-9), rule_,
+                    scalars=scalars_, block_rows=br, chunk=chunk,
                     stochastic_round_seed=salt if use_sr else None,
+                    need_count=need_count,
                 )
                 return tuple(new), new[1][0, 0]
             return jax.lax.scan(body, sts, salts)
 
         salts = jnp.arange(LONG, dtype=jnp.int32)
-        sts = (jnp.copy(table), jnp.copy(slot))
+        sts = tuple(jnp.copy(s) for s in sts0)
         sts, _ = run(sts, salts[:SHORT])
         sts, out = run(sts, salts)
         np.asarray(out)[-1]
         ts = []
         for _ in range(3):
-            sts = (jnp.copy(table), jnp.copy(slot))
+            sts = tuple(jnp.copy(s) for s in sts0)
             t0 = time.perf_counter()
             sts, out = run(sts, salts[:SHORT])
             np.asarray(out)[-1]
@@ -82,17 +88,44 @@ def main():
         print(f"{name:28s} {sorted(ts)[1]:8.1f} us/step",
               file=sys.stderr)
 
-    for name, br, chunk, sr in (
-        ("br2048 c128 SR", 2048, 128, True),
-        ("br2048 c128 noSR", 2048, 128, False),
-        ("br2048 c256 SR", 2048, 256, True),
-        ("br1024 c128 SR", 1024, 128, True),
-        ("br4096 c128 SR", 4096, 128, True),
-        ("br2048 c512 SR", 2048, 512, True),
-        ("br2048 c512 noSR", 2048, 512, False),
+    for name, br, chunk, sr, nc in (
+        ("br2048 c128 SR", 2048, 128, True, True),
+        ("br2048 c128 SR nocount", 2048, 128, True, False),
+        ("br2048 c256 SR nocount", 2048, 256, True, False),
+        ("br2048 c64 SR nocount", 2048, 64, True, False),
+        ("br2048 c32 SR nocount", 2048, 32, True, False),
+        ("br2048 c16 SR nocount", 2048, 16, True, False),
+        ("br4096 c64 SR nocount", 4096, 64, True, False),
+        ("br2048 c64 noSR nocount", 2048, 64, False, False),
+        ("br2048 c128 noSR nocount", 2048, 128, False, False),
+        ("br1024 c128 SR nocount", 1024, 128, True, False),
+        ("br4096 c128 SR nocount", 4096, 128, True, False),
     ):
         try:
-            timed(name, br, chunk, sr)
+            timed(name, br, chunk, sr, need_count=nc)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:28s} FAILED: {type(e).__name__} "
+                  f"{str(e)[:120]}", file=sys.stderr)
+
+    # Rowwise Adagrad: [V, 1] scalar accumulator — the slot plane's HBM
+    # traffic drops DIM-fold; probes how close that gets the update to
+    # the table-only streaming floor.
+    spec_rw = cfg.OptimizerSpec(kind="rowwise_adagrad", learning_rate=0.1)
+    _, scalars_rw, rule_rw = sparse_optimizer._kernel_rule(
+        spec_rw, jnp.int32(0)
+    )
+    slot_rw = jnp.asarray(
+        np.abs(rng.normal(size=(V, 1))).astype(np.float32)
+    )
+    for name, br, chunk in (
+        ("rowwise br2048 c128 SR", 2048, 128),
+        ("rowwise br4096 c128 SR", 4096, 128),
+        ("rowwise br8192 c128 SR", 8192, 128),
+    ):
+        try:
+            timed(name, br, chunk, True, need_count=False,
+                  sts0=(table, slot_rw), rule_=rule_rw,
+                  scalars_=scalars_rw)
         except Exception as e:  # noqa: BLE001
             print(f"{name:28s} FAILED: {type(e).__name__} "
                   f"{str(e)[:120]}", file=sys.stderr)

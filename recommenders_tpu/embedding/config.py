@@ -52,7 +52,11 @@ class OptimizerSpec:
     the clippy_* thresholds mirror that class's constructor.
     """
 
-    kind: str = "adagrad"  # sgd | adagrad | adam | ftrl | clippy
+    # sgd | adagrad | rowwise_adagrad | adam | ftrl | clippy.
+    # "rowwise_adagrad" keeps ONE accumulator scalar per row (the
+    # FBGEMM/TorchRec DLRM default; exceeds the reference's optimizer
+    # set): 1/dim the slot memory and slot HBM traffic of "adagrad".
+    kind: str = "adagrad"
     learning_rate: LearningRate = 0.01
     initial_accumulator_value: float = 0.1
     beta1: float = 0.9

@@ -20,7 +20,7 @@ dummy variable; in JAX the same decoupling is purely functional:
 
 `update` converts activation gradients back to per-row gradients
 (inverting the combiner), folds duplicates, and applies the per-table
-sparse optimizer (SGD/Adagrad/Adam/FTRL with slot state,
+sparse optimizer (SGD/Adagrad/rowwise-Adagrad/Adam/FTRL with slot state,
 `recommenders_tpu.embedding.sparse_optimizer`) through scatter ops that
 touch only looked-up rows — a dense `[vocab, dim]` gradient is never
 materialized, which is what makes 100M-row tables trainable.
@@ -105,9 +105,12 @@ class EmbeddingEngine:
         path rounds to nearest regardless.
       exact_grad_routing: The update kernel's grad-routing matmul uses
         a bf16 hi+lo split (near-f32 exact duplicate sums; default).
-        False = one bf16 pass: ~8 mantissa bits on the routed sums,
-        ~45 us/step faster at the headline shape — opt in where grad
-        precision tolerates bf16 (most CTR workloads).
+        Both lanes pack into ONE matmul, so at dim ≤ 63 (plus SGD /
+        Adagrad's count-free path at dim = 64) exactness fills the same
+        128-lane MXU tile a single lossy pass would — free. False =
+        hi lane only (~8 mantissa bits on the routed sums); only worth
+        considering for wider rows, where the split doubles routing
+        lanes.
       stack_tables: Store tables that share (dim, optimizer) as row
         ranges of ONE physical array — the TF TPU embedding engine's
         table stacking (the reference's backing API stacks compatible

@@ -3,7 +3,9 @@
 The reference delegates sparse optimization to the TF TPU embedding
 engine's on-device C++ updaters (SGD/Adagrad/Adam/FTRL with slot
 variables, `tensorflow_recommenders/layers/embedding/tpu_embedding_layer.py:
-40-76,1014-1082`). These are their JAX equivalents: pure functions that
+40-76,1014-1082`), plus rowwise Adagrad (one accumulator scalar per row,
+the FBGEMM/TorchRec DLRM default — exceeds the reference's optimizer
+set). These are their JAX equivalents: pure functions that
 apply row-sparse updates `(table, slots, ids, row_grads) -> (table, slots)`
 via scatter ops, touching only the looked-up rows — no dense
 vocabulary-sized gradient is ever materialized.
@@ -35,7 +37,7 @@ PAD_ID = config_lib.PAD_ID
 # Optimizer kinds the blocked Pallas apply supports. Clippy needs a
 # GLOBAL scalar (min clipping factor across every touched row), which a
 # per-block rule cannot compute — it stays on the scatter path.
-KERNEL_KINDS = ("sgd", "adagrad", "adam", "ftrl")
+KERNEL_KINDS = ("sgd", "adagrad", "rowwise_adagrad", "adam", "ftrl")
 
 
 def dedupe_sum(
@@ -117,6 +119,20 @@ def init_slots(
         return {}
     if spec.kind == "adagrad":
         return {"accumulator": full(spec.initial_accumulator_value)}
+    if spec.kind == "rowwise_adagrad":
+        # ONE accumulator scalar per row (the FBGEMM/TorchRec DLRM
+        # default): 1/dim the slot memory and, through the blocked
+        # kernel, 1/dim the slot HBM traffic of per-element Adagrad —
+        # the update step's usual bound. Adapts the whole row by the
+        # mean squared gradient; quality is task-equivalent for
+        # embedding rows, whose elements share a scale.
+        return {
+            "accumulator": jnp.full(
+                (table.shape[0], 1),
+                spec.initial_accumulator_value,
+                dtype,
+            )
+        }
     if spec.kind == "adam":
         return {"m": full(0.0), "v": full(0.0)}
     if spec.kind == "ftrl":
@@ -158,6 +174,18 @@ def _kernel_rule(spec: config_lib.OptimizerSpec, step: Array):
         def rule(states, g, count, sc):
             table, accum = states
             new_accum = accum + jnp.square(g)
+            scale = jax.lax.rsqrt(new_accum + 1e-12)
+            return [table - sc[0] * g * scale, new_accum]
+
+        return ("accumulator",), jnp.stack([lr]), rule
+
+    if spec.kind == "rowwise_adagrad":
+
+        def rule(states, g, count, sc):
+            table, accum = states           # accum: [R, 1]
+            new_accum = accum + jnp.mean(
+                jnp.square(g), axis=1, keepdims=True
+            )
             scale = jax.lax.rsqrt(new_accum + 1e-12)
             return [table - sc[0] * g * scale, new_accum]
 
@@ -226,7 +254,7 @@ def _apply_sparse_kernel(
     step: Array,
     max_unique: Optional[int],
     block_rows: Optional[int] = None,
-    chunk: int = 128,
+    chunk: Optional[int] = None,
     sr_seed: Optional[Array] = None,
     exact_routing: bool = True,
 ) -> Optional[Tuple[Array, Slots]]:
@@ -240,6 +268,12 @@ def _apply_sparse_kernel(
     """
     v = table.shape[0]
     slot_names, scalars, rule = _kernel_rule(spec, step)
+    if chunk is None:
+        # Larger chunks amortize per-grid-step overhead once the update
+        # list is long (v5e probe at the headline shape: c256 329 us vs
+        # c128 340 us); short lists keep c128 so chunk padding stays
+        # bounded.
+        chunk = 256 if ids.shape[0] >= 2048 else 128
     if block_rows is None:
         # Largest power-of-two ≤ 2048 whose MODELED VMEM working set
         # (in + out double-buffered blocks per state array, plus the
@@ -303,6 +337,10 @@ def _apply_sparse_kernel(
         chunk=chunk,
         stochastic_round_seed=sr_seed,
         exact_routing=exact_routing,
+        # SGD/Adagrad are gradient-homogeneous (zero grad is already an
+        # identity), so the routing matmul drops the ones lane — at
+        # d = 64 exact hi+lo routing then fits one 128-lane MXU tile.
+        need_count=spec.kind in ("adam", "ftrl"),
         interpret=jax.default_backend() != "tpu",
     )
     new_slots = dict(slots)
@@ -376,6 +414,16 @@ def apply_sparse(
 
     if spec.kind == "adagrad":
         accum = add(slots["accumulator"], jnp.square(grads))
+        scale = jax.lax.rsqrt(read(accum, fill=1.0) + 1e-12)
+        table = add(table, -lr * grads * scale)
+        return table, {"accumulator": accum}
+
+    if spec.kind == "rowwise_adagrad":
+        # [V, 1] scalar accumulator per row (see `init_slots`).
+        accum = add(
+            slots["accumulator"],
+            jnp.mean(jnp.square(grads), axis=1, keepdims=True),
+        )
         scale = jax.lax.rsqrt(read(accum, fill=1.0) + 1e-12)
         table = add(table, -lr * grads * scale)
         return table, {"accumulator": accum}

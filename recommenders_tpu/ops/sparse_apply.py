@@ -23,11 +23,14 @@ math the MXU/VPU can chew:
     writes rows individually: it builds the chunk's one-hot routing
     matrix `onehotT[u, row] = (id_u − base == row)` with one broadcast
     compare and DENSIFIES the updates with one MXU matmul
-    `G += onehotTᵀ @ grads_chunk` — duplicates sum automatically.
+    `G += onehotTᵀ @ [g_hi | g_lo | ones?]` — duplicates sum
+    automatically, and the bf16 hi+lo gradient split rides the SAME
+    pass (near-f32 exact sums at single-pass cost).
   - After the last chunk, the whole block updates vectorized:
     `new_blocks = block_update(state_blocks, G, count)` where `count`
-    (per-row update multiplicity, from a ones-lane smuggled through the
-    same matmul) lets decay-style rules (Adam) mask untouched rows.
+    (per-row update multiplicity, from a ones lane packed into the same
+    matmul — shipped only when the rule needs it) lets decay-style
+    rules (Adam) mask untouched rows.
   - Every state array (table + slot planes) updates in one pass, in
     place (`input_output_aliases`).
 
@@ -143,11 +146,12 @@ def _kernel(
     use_sr: bool,
     use_hw_rng: bool,
     exact_routing: bool,
+    need_count: bool,
     out_dtypes: Tuple,
 ):
     ins = refs[:num_state]
     outs = refs[num_state:2 * num_state]
-    g_acc = refs[2 * num_state]         # [R, d_grad] f32
+    g_acc = refs[2 * num_state]         # [R, P] f32 (raw routed sums)
     p = pl.program_id(0)
     s = s_ref[p]
     e = e_ref[p]
@@ -159,14 +163,14 @@ def _kernel(
 
     # The augmented stream arrives as INT32 (bit-identical container)
     # and the grad lanes bitcast back to f32 here. Row ids ride in lane
-    # d+1 of the one augmented lane group (not a separate group: at
-    # d=64 that halves the update stream's DMA and VMEM footprint).
+    # d of the one augmented lane group (not a separate group: at d=64
+    # that halves the update stream's DMA and VMEM footprint).
     # The container must not be f32: every vocab id bitcasts to an f32
     # DENORMAL (ids < 2^23 have a zero exponent), and the compiled f32
     # load path flushes denormals to zero — on hardware every id read
     # back 0 and all of a block's updates routed to its row 0
     # (interpret mode preserved bits, so CPU tests never saw it).
-    ids = aug_ref[:, d + 1:d + 2]                # [chunk, 1] int32
+    ids = aug_ref[:, d:d + 1]                    # [chunk, 1] int32
     # Entries outside this block's [s, e) range (edge entries of a
     # shared chunk, padding, sentinel pairs) route to no row.
     idx = chunk_ref[p] * chunk + lax.broadcasted_iota(
@@ -175,41 +179,44 @@ def _kernel(
     local = jnp.where((idx >= s) & (idx < e), ids - base, -1)
     rows = lax.broadcasted_iota(jnp.int32, (chunk, block_rows), 1)
     onehot_t = (local == rows).astype(jnp.bfloat16)  # [chunk, R]
-    # Near-f32 routing at 2 MXU passes instead of HIGHEST's 6: the
-    # one-hot side is EXACT in bf16 (0.0/1.0), so only the gradient
-    # side needs splitting — g = hi + lo with both parts bf16 gives
-    # each product exactly and ~16 mantissa bits on the sum (f32
-    # accumulation), vs bf16's 8 on a single DEFAULT pass.
-    g = lax.bitcast_convert_type(
-        aug_ref[:, :d_grad], jnp.float32
-    )
-    # Zero the id lane so the routed output stays clean garbage-free
-    # (bitcast ids are finite for any real vocab, but keep the routed
-    # accumulator exact zeros outside [:, :d+1]).
-    g = jnp.where(
-        lax.broadcasted_iota(jnp.int32, g.shape, 1) == d + 1, 0.0, g
-    )
-    def route(part):
-        return lax.dot_general(
-            onehot_t,
-            part,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    g_hi = g.astype(jnp.bfloat16)
+    # Near-f32 routing at ONE MXU pass: the one-hot side is EXACT in
+    # bf16 (0.0/1.0), so only the gradient side needs splitting —
+    # g = hi + lo with both parts bf16 gives each product exactly and
+    # ~16 mantissa bits on the sum (f32 accumulation). hi and lo PACK
+    # into the same matmul operand (lanes [0, d) and [d, 2d)), so at
+    # d = 64 exact routing fills exactly one 128-lane tile and costs
+    # what a single lossy bf16 pass otherwise would. The ones lane
+    # (per-row multiplicity for decay rules' count mask) ships only
+    # when the rule reads it — SGD/Adagrad are gradient-homogeneous
+    # (g = 0 is already an identity), so their headline path skips it.
+    gd = lax.bitcast_convert_type(aug_ref[:, :d], jnp.float32)
+    g_hi = gd.astype(jnp.bfloat16)
+    parts = [g_hi]
     if exact_routing:
-        g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        contrib = route(g_hi) + route(g_lo)      # [R, d_grad] f32
-    else:
-        # Single bf16 pass: ~8 mantissa bits on the routed grad sums
-        # (f32 accumulation across the chunk). Halves the routing MXU
-        # time; opt-in where grad precision tolerates bf16.
-        contrib = route(g_hi)
+        parts.append((gd - g_hi.astype(jnp.float32)).astype(jnp.bfloat16))
+    if need_count:
+        parts.append(jnp.ones((chunk, 1), jnp.bfloat16))
+    packed = parts[0] if len(parts) == 1 else jnp.concatenate(
+        parts, axis=1
+    )
+    contrib = lax.dot_general(
+        onehot_t,
+        packed,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                            # [R, P] f32
 
-    def finish(g_full):
-        g = g_full[:, :d]
-        count = g_full[:, d:d + 1]
+    def finish(acc):
+        # The raw routed lanes fold here, ONCE per block (the per-chunk
+        # path above only ever accumulates them): hi + lo sum and the
+        # count lane split out.
+        g = acc[:, :d]
+        if exact_routing:
+            g = g + acc[:, d:2 * d]
+        if need_count:
+            count = acc[:, acc.shape[1] - 1:]
+        else:
+            count = jnp.zeros((block_rows, 1), jnp.float32)
         # Rules always compute in f32; sub-f32 state (bf16 tables)
         # upcasts here and rounds on write-back below.
         args = [[i[...].astype(jnp.float32) for i in ins], g, count]
@@ -284,14 +291,17 @@ def sorted_block_apply(
     chunk: int = 128,
     stochastic_round_seed: Optional[Array] = None,
     exact_routing: bool = True,
+    need_count: bool = True,
     interpret: bool = False,
     _alias: bool = True,
 ) -> Tuple[Array, ...]:
     """Applies a row-sparse optimizer update through the blocked kernel.
 
     Args:
-      states: state arrays, each `[V, D]` (table first, then slots); all
-        updated in place (donated — do not reuse the inputs).
+      states: state arrays (table first, then slots); the table is
+        `[V, D]`, slot planes are `[V, d_s]` with `1 ≤ d_s ≤ D` (e.g.
+        rowwise Adagrad's `[V, 1]` scalar accumulator); all updated in
+        place (donated — do not reuse the inputs).
       sorted_ids: `[n]` int32 row ids, ASCENDING; entries `>= V` are
         padding/dropped rows and must sort last.
       sorted_grads: `[n, D]` update rows aligned with `sorted_ids`
@@ -313,9 +323,15 @@ def sorted_block_apply(
         (seed, grid step); other dtypes round as usual. Pass a
         per-(step, table) seed so streams never repeat.
       exact_routing: route gradients through the MXU as a bf16 hi+lo
-        split (near-f32 exact sums; default) vs a single bf16 pass
-        (~8 mantissa bits on the routed sums, half the routing MXU
-        time — measured −35 us at the headline shape).
+        split packed into one matmul (near-f32 exact sums; default) vs
+        a single bf16 pass (~8 mantissa bits on the routed sums). At
+        d ≤ 63 both fill the same 128-lane tile — exactness is free;
+        wider rows pay ~2× routing lanes for the split.
+      need_count: whether `block_update` reads its `count` argument.
+        With False (correct only for rules where a zero gradient is
+        already an identity — SGD/Adagrad) the ones lane is dropped
+        from the routing matmul and `count` arrives as zeros; at d = 64
+        that keeps exact routing inside one 128-lane MXU tile.
       block_rows: rows per streamed table block (auto-shrunk to divide
         V). Smaller blocks help when updates are sparse relative to V
         (fewer untouched rows streamed); bigger blocks amortize DMA.
@@ -327,8 +343,13 @@ def sorted_block_apply(
     """
     v, d = states[0].shape
     n = sorted_ids.shape[0]
+    # Slot planes may be NARROWER than the table (e.g. rowwise
+    # Adagrad's [V, 1] scalar accumulator — 1/d the slot HBM traffic);
+    # every state still covers the same V rows.
     for st in states:
-        assert st.shape == (v, d), (st.shape, (v, d))
+        assert st.shape[0] == v and 1 <= st.shape[1] <= d, (
+            st.shape, (v, d)
+        )
     use_sr = stochastic_round_seed is not None and any(
         st.dtype == jnp.bfloat16 for st in states
     )
@@ -413,28 +434,25 @@ def sorted_block_apply(
     s_pair = jnp.where(in_range, starts[t_of], 0)
     e_pair = jnp.where(in_range, ends[t_of], 0)
 
-    # Augmented update rows: [grad (d) | ones-lane | row id | zero pad
-    # to a 128-multiple] — ONE lane group when d ≤ 126, so the update
+    # Augmented update rows: [grad (d) | row id | zero pad to a
+    # 128-multiple] — ONE lane group when d ≤ 127, so the update
     # stream (DMA + VMEM) carries no all-padding group. The container
     # is INT32 (grad lanes bitcast) because the compiled f32 load path
     # flushes denormals — which every bitcast id would be (see the id
     # read in `_kernel`).
-    d_grad = -(-(d + 2) // _LANES) * _LANES
+    d_grad = -(-(d + 1) // _LANES) * _LANES
     d_aug = d_grad
-    ones = jnp.ones((n, 1), jnp.float32)
     aug = lax.bitcast_convert_type(
         jnp.concatenate(
             [
                 sorted_grads.astype(jnp.float32),
-                ones,
-                jnp.zeros((n, d_grad - d - 2 + 1), jnp.float32),
+                jnp.zeros((n, d_grad - d), jnp.float32),
             ],
             axis=1,
         ),
         jnp.int32,
     )
-    id_col = d + 1
-    aug = aug.at[:, id_col].set(sorted_ids.astype(jnp.int32))
+    aug = aug.at[:, d].set(sorted_ids.astype(jnp.int32))
     pad_rows = (-n) % chunk
     aug = jnp.pad(aug, ((0, pad_rows), (0, 0)))
 
@@ -463,8 +481,13 @@ def sorted_block_apply(
         use_sr=use_sr,
         use_hw_rng=not interpret,
         exact_routing=exact_routing,
+        need_count=need_count,
         out_dtypes=tuple(st.dtype for st in states),
     )
+    # Routed lane count: [hi | lo?] grads + optional ones lane. The
+    # scratch accumulator holds RAW routed sums (hi/lo fold at block
+    # finish), so multi-chunk accumulation touches exactly P lanes.
+    p_lanes = (2 * d if exact_routing else d) + (1 if need_count else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(num_pairs,),
@@ -475,25 +498,27 @@ def sorted_block_apply(
             )
         ] + [
             pl.BlockSpec(
-                (br, d), lambda p, bl, cl, sp, ep, sr, sd: (bl[p], 0)
+                (br, st.shape[1]),
+                lambda p, bl, cl, sp, ep, sr, sd: (bl[p], 0),
             )
-            for _ in states
+            for st in states
         ],
         out_specs=tuple(
             pl.BlockSpec(
-                (br, d), lambda p, bl, cl, sp, ep, sr, sd: (bl[p], 0)
+                (br, st.shape[1]),
+                lambda p, bl, cl, sp, ep, sr, sd: (bl[p], 0),
             )
-            for _ in states
+            for st in states
         ),
         scratch_shapes=[
-            pltpu.VMEM((br, d_grad), jnp.float32),
+            pltpu.VMEM((br, p_lanes), jnp.float32),
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=tuple(
-            jax.ShapeDtypeStruct((v, d), st.dtype) for st in states
+            jax.ShapeDtypeStruct(st.shape, st.dtype) for st in states
         ),
         # Operand order: 6 scalar-prefetch refs, the aug chunks (6),
         # then the state arrays (7..). `_alias=False` is a measurement

@@ -23,6 +23,11 @@ SPECS = {
     "adagrad": config_lib.OptimizerSpec(
         kind="adagrad", learning_rate=0.2, initial_accumulator_value=0.1
     ),
+    "rowwise_adagrad": config_lib.OptimizerSpec(
+        kind="rowwise_adagrad",
+        learning_rate=0.2,
+        initial_accumulator_value=0.1,
+    ),
     "adam": config_lib.OptimizerSpec(kind="adam", learning_rate=0.05),
     "ftrl": config_lib.OptimizerSpec(
         kind="ftrl",
@@ -82,6 +87,48 @@ def test_kernel_matches_scatter(name, max_unique):
             atol=5e-5,
             err_msg=f"slot {k}",
         )
+
+
+def test_rowwise_adagrad_closed_form():
+    """One update against the hand-computed rowwise rule: the [V, 1]
+    accumulator advances by the MEAN squared gradient of the row and
+    scales the whole row by one rsqrt factor (the FBGEMM/TorchRec
+    rowwise_adagrad semantics; exceeds the reference's optimizer set).
+    """
+    spec = SPECS["rowwise_adagrad"]
+    v, d = 16, 4
+    table = jnp.zeros((v, d), jnp.float32)
+    slots = sparse_optimizer.init_slots(spec, table)
+    assert slots["accumulator"].shape == (v, 1)
+    ids = jnp.asarray([2, 2, 5], jnp.int32)
+    grads = jnp.asarray(
+        [[1.0, 2.0, 3.0, 4.0],
+         [1.0, 0.0, 1.0, 0.0],
+         [2.0, 2.0, 2.0, 2.0]], jnp.float32
+    )
+    for use_kernel in (False, True):
+        t, s = sparse_optimizer.apply_sparse(
+            spec, table, dict(slots), ids, grads,
+            jnp.asarray(0, jnp.int32), use_kernel=use_kernel,
+        )
+        # Row 2 sees the SUMMED duplicate gradient [2, 2, 4, 4].
+        a2 = 0.1 + np.mean(np.square([2.0, 2.0, 4.0, 4.0]))
+        a5 = 0.1 + np.mean(np.square([2.0, 2.0, 2.0, 2.0]))
+        np.testing.assert_allclose(
+            np.asarray(s["accumulator"])[[2, 5], 0], [a2, a5],
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(t)[2],
+            -0.2 * np.asarray([2.0, 2.0, 4.0, 4.0]) / np.sqrt(a2),
+            rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(t)[5],
+            -0.2 * np.asarray([2.0, 2.0, 2.0, 2.0]) / np.sqrt(a5),
+            rtol=1e-4,
+        )
+        assert np.all(np.asarray(t)[[0, 1, 3, 4] + list(range(6, v))] == 0)
 
 
 def test_clippy_falls_back_to_scatter():
