@@ -174,7 +174,7 @@ def main():
 
     # --- kernel: presorted stacked update -------------------------------
     def mk_kernel():
-        slot_names, scalars, rule = sparse_optimizer._kernel_rule(
+        slot_names, scalars, rule, _ = sparse_optimizer._kernel_rule(
             spec, jnp.int32(0)
         )
         group = engine._stacks[0] if hasattr(engine, "_stacks") else None

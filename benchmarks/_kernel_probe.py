@@ -35,7 +35,7 @@ def main():
     print(f"backend={jax.default_backend()}", file=sys.stderr)
     rng = np.random.RandomState(int(time.time()))
     spec = cfg.OptimizerSpec(kind="adagrad", learning_rate=0.1)
-    slot_names, scalars, rule = sparse_optimizer._kernel_rule(
+    slot_names, scalars, rule, _ = sparse_optimizer._kernel_rule(
         spec, jnp.int32(0)
     )
 
@@ -111,7 +111,7 @@ def main():
     # traffic drops DIM-fold; probes how close that gets the update to
     # the table-only streaming floor.
     spec_rw = cfg.OptimizerSpec(kind="rowwise_adagrad", learning_rate=0.1)
-    _, scalars_rw, rule_rw = sparse_optimizer._kernel_rule(
+    _, scalars_rw, rule_rw, _ = sparse_optimizer._kernel_rule(
         spec_rw, jnp.int32(0)
     )
     slot_rw = jnp.asarray(

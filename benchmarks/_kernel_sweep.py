@@ -44,7 +44,7 @@ def main():
     )
 
     def variant(br, chunk):
-        slot_names, scalars, rule = so._kernel_rule(
+        slot_names, scalars, rule, _ = so._kernel_rule(
             spec, jnp.int32(0)
         )
 

@@ -220,7 +220,7 @@ def main():
                     rule_args = sparse_optimizer._kernel_rule(
                         spec, st.step
                     )
-                    slot_names, scalars, rule = rule_args
+                    slot_names, scalars, rule = rule_args[:3]
                     states = (tables[tname],) + tuple(
                         slots[tname][nm] for nm in slot_names
                     )

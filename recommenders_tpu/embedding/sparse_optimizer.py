@@ -151,13 +151,17 @@ def init_slots(
 
 
 def _kernel_rule(spec: config_lib.OptimizerSpec, step: Array):
-    """(slot_names, scalars, block_update) for the blocked Pallas apply.
+    """(slot_names, scalars, block_update, needs_count) for the blocked
+    Pallas apply.
 
     Each rule reproduces the scatter path's per-row math exactly, with
     runtime scalars (LR at this step, Adam bias corrections) computed
     outside the kernel and smuggled in through SMEM. Rules must be
     identities for rows with `count == 0` (untouched rows inside a
-    touched block).
+    touched block). `needs_count` is True for rules that read `count`
+    (decay-style rules where zero-grad is not an identity) — returned
+    here, next to each rule's definition, so the kernel caller never
+    passes `count=0` to a rule that depends on it.
     """
     lr = jnp.asarray(spec.lr_at(step), jnp.float32)
 
@@ -167,7 +171,7 @@ def _kernel_rule(spec: config_lib.OptimizerSpec, step: Array):
             (table,) = states
             return [table - sc[0] * g]
 
-        return (), jnp.stack([lr]), rule
+        return (), jnp.stack([lr]), rule, False
 
     if spec.kind == "adagrad":
 
@@ -177,7 +181,7 @@ def _kernel_rule(spec: config_lib.OptimizerSpec, step: Array):
             scale = jax.lax.rsqrt(new_accum + 1e-12)
             return [table - sc[0] * g * scale, new_accum]
 
-        return ("accumulator",), jnp.stack([lr]), rule
+        return ("accumulator",), jnp.stack([lr]), rule, False
 
     if spec.kind == "rowwise_adagrad":
 
@@ -189,7 +193,7 @@ def _kernel_rule(spec: config_lib.OptimizerSpec, step: Array):
             scale = jax.lax.rsqrt(new_accum + 1e-12)
             return [table - sc[0] * g * scale, new_accum]
 
-        return ("accumulator",), jnp.stack([lr]), rule
+        return ("accumulator",), jnp.stack([lr]), rule, False
 
     if spec.kind == "adam":
         t = step.astype(jnp.float32) + 1.0
@@ -212,7 +216,7 @@ def _kernel_rule(spec: config_lib.OptimizerSpec, step: Array):
                 jnp.where(touched, v_rows, v),
             ]
 
-        return ("m", "v"), scalars, rule
+        return ("m", "v"), scalars, rule, True
 
     if spec.kind == "ftrl":
 
@@ -240,7 +244,7 @@ def _kernel_rule(spec: config_lib.OptimizerSpec, step: Array):
                 jnp.where(touched, z_new, linear),
             ]
 
-        return ("accumulator", "linear"), jnp.stack([lr]), rule
+        return ("accumulator", "linear"), jnp.stack([lr]), rule, True
 
     raise ValueError(f"No kernel rule for optimizer kind {spec.kind!r}")
 
@@ -267,13 +271,17 @@ def _apply_sparse_kernel(
     on TPU via `apply_sparse(use_kernel=True)`.
     """
     v = table.shape[0]
-    slot_names, scalars, rule = _kernel_rule(spec, step)
+    slot_names, scalars, rule, needs_count = _kernel_rule(spec, step)
     if chunk is None:
         # Larger chunks amortize per-grid-step overhead once the update
         # list is long (v5e probe at the headline shape: c256 329 us vs
         # c128 340 us); short lists keep c128 so chunk padding stays
-        # bounded.
-        chunk = 256 if ids.shape[0] >= 2048 else 128
+        # bounded. The kernel runs over the POST-dedupe list when
+        # max_unique compacts it, so size the chunk to that length.
+        n_eff = ids.shape[0]
+        if max_unique is not None:
+            n_eff = min(n_eff, max_unique)
+        chunk = 256 if n_eff >= 2048 else 128
     if block_rows is None:
         # Largest power-of-two ≤ 2048 whose MODELED VMEM working set
         # (in + out double-buffered blocks per state array, plus the
@@ -289,9 +297,16 @@ def _apply_sparse_kernel(
         # (benchmarks/_alias_probe.py) — 1.4× the achievable floor;
         # chunk 64/256 measure within noise of 128, smaller blocks
         # lose to per-grid-step overhead.
+        #
+        # Per-state widths are summed individually (rowwise_adagrad's
+        # slot is [V, 1], not [V, d]) so wide-dim rowwise tables keep
+        # the full block_rows their actual working set affords; the
+        # 2·d term approximates the p_lanes routing scratch.
         d = table.shape[1]
-        num_states = 1 + len(slot_names)
-        bytes_per_row = d * 4 * (4 * num_states + 2)
+        width_sum = d + sum(
+            int(slots[nm].shape[-1]) for nm in slot_names
+        )
+        bytes_per_row = 4 * (4 * width_sum + 2 * d)
         block_rows = 2048
         while block_rows > 8 and block_rows * bytes_per_row > 7 << 20:
             block_rows //= 2
@@ -340,7 +355,7 @@ def _apply_sparse_kernel(
         # SGD/Adagrad are gradient-homogeneous (zero grad is already an
         # identity), so the routing matmul drops the ones lane — at
         # d = 64 exact hi+lo routing then fits one 128-lane MXU tile.
-        need_count=spec.kind in ("adam", "ftrl"),
+        need_count=needs_count,
         interpret=jax.default_backend() != "tpu",
     )
     new_slots = dict(slots)

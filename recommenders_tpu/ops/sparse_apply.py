@@ -345,11 +345,17 @@ def sorted_block_apply(
     n = sorted_ids.shape[0]
     # Slot planes may be NARROWER than the table (e.g. rowwise
     # Adagrad's [V, 1] scalar accumulator — 1/d the slot HBM traffic);
-    # every state still covers the same V rows.
+    # every state still covers the same V rows. Only full-width and
+    # [V, 1] planes are exercised by the kernel rules; reject other
+    # widths rather than hand an untested shape to `block_update`
+    # (ValueError, not assert: user-facing and `-O`-proof).
     for st in states:
-        assert st.shape[0] == v and 1 <= st.shape[1] <= d, (
-            st.shape, (v, d)
-        )
+        if st.shape[0] != v or st.shape[1] not in (1, d):
+            raise ValueError(
+                f"State plane shape {st.shape} is not supported: every "
+                f"plane must cover the table's {v} rows with width "
+                f"{d} (full) or 1 (rowwise)."
+            )
     use_sr = stochastic_round_seed is not None and any(
         st.dtype == jnp.bfloat16 for st in states
     )
