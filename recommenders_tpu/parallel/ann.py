@@ -35,6 +35,7 @@ On a 1-device mesh both layers degrade to their single-chip twins.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -53,6 +54,64 @@ MIN_FLOAT = topk_ops.MIN_FLOAT
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _shard_devices(mesh: Mesh, axis: str):
+    """The axis devices of a 1-axis mesh, in shard order.
+
+    Streamed sharded builds place per-shard buffers on explicit devices;
+    with more than one mesh axis the buffers would additionally need
+    replication over the other axes, which the builds do not implement.
+    """
+    if mesh.devices.size != mesh.shape[axis]:
+        raise ValueError(
+            "index_streamed requires a mesh whose only axis is "
+            f"{axis!r}; got axes {mesh.axis_names} with shape "
+            f"{dict(mesh.shape)}."
+        )
+    return list(mesh.devices.flatten())
+
+
+def _zeros_on(shape, dtype, dev):
+    """Allocates zeros DIRECTLY on `dev` — no host buffer, no transfer
+    (a 100M-scale shard must not ride the ~25 MB/s host link)."""
+    sharding = jax.sharding.SingleDeviceSharding(dev)
+    return jax.jit(
+        lambda: jnp.zeros(shape, dtype), out_shardings=sharding
+    )()
+
+
+def _full_on(shape, value, dtype, dev):
+    sharding = jax.sharding.SingleDeviceSharding(dev)
+    return jax.jit(
+        lambda: jnp.full(shape, value, dtype), out_shardings=sharding
+    )()
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_vec(buf: Array, block: Array, off) -> Array:
+    """Writes 1-D `block` into 1-D `buf` at `off` (donated, in-place)."""
+    return jax.lax.dynamic_update_slice(buf, block, (off,))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_ids(
+    ids_buf: Array, vals: Array, leaf_b: Array, slot_b: Array
+) -> Array:
+    """Scatters per-row identifiers into `[leaves, capacity]` blocks
+    (donated, in-place); sentinel leaf indices drop out of bounds."""
+    return ids_buf.at[leaf_b, slot_b].set(vals, mode="drop")
+
+
+def _assemble_sharded(mesh: Mesh, axis: str, shards) -> Array:
+    """Stacks per-device shard arrays into one global array sharded over
+    `mesh[axis]` — metadata only, no data movement: each shard is
+    already resident on its device."""
+    shard_shape = shards[0].shape
+    global_shape = (len(shards) * shard_shape[0],) + shard_shape[1:]
+    return jax.make_array_from_single_device_arrays(
+        global_shape, NamedSharding(mesh, P(axis)), list(shards)
+    )
 
 
 class ShardedBucketed(layers_ftk.TopK):
@@ -180,6 +239,171 @@ class ShardedBucketed(layers_ftk.TopK):
         self._valid = jax.device_put(jnp.asarray(valid), sharding)
         self._identifiers = identifiers
         self._num_candidates = n
+        self._rows_per_shard = rps
+        self._fns = {}
+        return self
+
+    def index_streamed(
+        self,
+        batches,
+        num_rows: int,
+        identifiers: Optional[Array] = None,
+    ) -> "ShardedBucketed":
+        """Builds the sharded index from row batches without EVER
+        materializing the corpus — or any shard-crossing slice of it —
+        on a single device.
+
+        The composition of `Bucketed.index_streamed` (single-device
+        streamed build) with the mesh sharding of `index`: each incoming
+        batch is split at shard row boundaries on the host, and every
+        piece is transferred straight to its OWNING device, where it is
+        cast/quantized and written into that shard's preallocated
+        buffer. Peak memory per device is one shard plus one batch, so
+        an N-device slice indexes N× the corpus one chip can hold —
+        e.g. 8 × 16 GB v5e chips serve ~1.2B int8 rows at d=128. The
+        reference's Streaming layer achieves corpus-beyond-accelerator
+        scale by keeping the corpus host-side as a tf.data stream
+        (`tensorflow_recommenders/layers/factorized_top_k.py:404-509`);
+        here the corpus lives sharded in HBM and queries stay
+        device-resident end-to-end.
+
+        Args:
+          batches: Iterable (or zero-arg callable returning one) of
+            `[b, D]` row blocks in corpus order — NumPy (host) arrays
+            at scale, so pieces move host→owning-device directly.
+            Uniform batch sizes avoid per-shape recompiles.
+          num_rows: Total corpus rows (must match the stream).
+          identifiers: Optional `[num_rows]` identifier array.
+        """
+        from recommenders_tpu.ops import quantization
+
+        it = iter(batches() if callable(batches) else batches)
+        if identifiers is not None:
+            identifiers = jnp.asarray(identifiers)
+            if identifiers.shape[0] != num_rows:
+                raise ValueError(
+                    f"identifiers rows ({identifiers.shape[0]}) != "
+                    f"num_rows ({num_rows})."
+                )
+        devs = _shard_devices(self._mesh, self._axis)
+        s = len(devs)
+        packed4 = self._quantize == "int4"
+        rps = _round_up(-(-num_rows // s), self._chunk)
+        half = rps // 2
+        bufs = [None] * s
+        scale_bufs = [None] * s
+        off = 0
+        d = None
+        for batch in it:
+            if not hasattr(batch, "ndim"):
+                batch = np.asarray(batch)
+            if batch.ndim != 2:
+                raise ValueError(
+                    f"Batches must be 2D row blocks (got {batch.shape})."
+                )
+            b = batch.shape[0]
+            if d is None:
+                d = batch.shape[1]
+                if d % 128 != 0:
+                    raise ValueError(
+                        "ShardedBucketed requires the embedding dim to "
+                        f"be a multiple of 128; got {d}."
+                    )
+            if off + b > num_rows:
+                raise ValueError(
+                    f"Batches supply more than num_rows={num_rows} rows."
+                )
+            pos = 0
+            while pos < b:
+                shard = off // rps
+                local = off % rps
+                take = min(b - pos, rps - local)
+                dev = devs[shard]
+                if bufs[shard] is None:
+                    if self._quantize:
+                        code_rows = half if packed4 else rps
+                        bufs[shard] = _zeros_on(
+                            (code_rows, d), jnp.int8, dev
+                        )
+                        scale_bufs[shard] = _zeros_on(
+                            (rps,), jnp.float32, dev
+                        )
+                    else:
+                        dtype = self._corpus_dtype or jnp.float32
+                        bufs[shard] = _zeros_on((rps, d), dtype, dev)
+                piece = jax.device_put(batch[pos:pos + take], dev)
+                if self._quantize:
+                    bits = 4 if packed4 else 8
+                    sc, codes = quantization.quantize_rows_device(
+                        piece, self._anisotropic_threshold, bits=bits
+                    )
+                    scale_bufs[shard] = _write_vec(
+                        scale_bufs[shard], sc, local
+                    )
+                    if packed4:
+                        # Nibble pairing strides PER SHARD: local slot r
+                        # pairs with r + rps/2 within the shard (the
+                        # stride the kernel derives from its local
+                        # shape). A piece straddling the half boundary
+                        # splits; each (row, nibble) is written once, so
+                        # OR-ing into the zero buffer is exact.
+                        cut = int(np.clip(half - local, 0, take))
+                        if cut:
+                            bufs[shard] = layers_ftk._or_nibble(
+                                bufs[shard], codes[:cut], local, False
+                            )
+                        if take - cut:
+                            bufs[shard] = layers_ftk._or_nibble(
+                                bufs[shard], codes[cut:],
+                                local + cut - half, True,
+                            )
+                    else:
+                        bufs[shard] = layers_ftk._write_rows(
+                            bufs[shard], codes, local
+                        )
+                else:
+                    bufs[shard] = layers_ftk._write_rows(
+                        bufs[shard], piece.astype(bufs[shard].dtype),
+                        local,
+                    )
+                off += take
+                pos += take
+        if off != num_rows:
+            raise ValueError(
+                f"Batches supplied {off} rows, expected num_rows="
+                f"{num_rows}."
+            )
+        # Trailing shards an undersized corpus never reached still need
+        # (empty) buffers for the SPMD query program.
+        for shard, dev in enumerate(devs):
+            if bufs[shard] is None:
+                if self._quantize:
+                    code_rows = half if packed4 else rps
+                    bufs[shard] = _zeros_on((code_rows, d), jnp.int8, dev)
+                    scale_bufs[shard] = _zeros_on(
+                        (rps,), jnp.float32, dev
+                    )
+                else:
+                    dtype = self._corpus_dtype or jnp.float32
+                    bufs[shard] = _zeros_on((rps, d), dtype, dev)
+        self._candidates = _assemble_sharded(
+            self._mesh, self._axis,
+            [b.reshape((1,) + b.shape) for b in bufs],
+        )
+        self._scales = (
+            _assemble_sharded(
+                self._mesh, self._axis,
+                [sb.reshape((1,) + sb.shape) for sb in scale_bufs],
+            )
+            if self._quantize else None
+        )
+        sharding = NamedSharding(self._mesh, P(self._axis))
+        valid = np.clip(
+            num_rows - np.arange(s) * rps, 0, rps
+        ).astype(np.int32)
+        self._valid = jax.device_put(jnp.asarray(valid), sharding)
+        self._identifiers = identifiers
+        self._num_candidates = num_rows
         self._rows_per_shard = rps
         self._fns = {}
         return self
@@ -365,6 +589,233 @@ class ShardedScaNN(layers_ftk.TopK):
         inner._leaf_embs = inner._leaf_scales = None
         inner._leaf_ids = inner._leaf_rows = inner._leaf_valid = None
         inner._built = False
+        self._built = True
+        self._fns = {}
+        return self
+
+    def index_streamed(
+        self,
+        batches,
+        num_rows: int,
+        identifiers: Optional[Array] = None,
+    ) -> "ShardedScaNN":
+        """Streamed SHARDED partitioned build: leaf storage goes
+        straight to the owning devices, so probed ANN serving reaches
+        corpora no SINGLE device could even hold in quantized form.
+
+        Follows the three passes of `ScaNN.index_streamed`
+        (`layers/approximate.py`): sample→k-means and top-R assignment
+        run on the default device over bounded state (the 2²¹-row
+        k-means sample and an `[N, R]` int32 choices buffer — at d=128,
+        R=4 that is 32× smaller than the f32 corpus, the binding term of
+        the build's single-device footprint); the scatter pass then
+        broadcasts each batch to every shard device, which quantizes it
+        locally and scatters ONLY the rows whose leaves it owns
+        (foreign rows mask to a dropped sentinel leaf). Per-device leaf
+        memory is `num_leaves/S × capacity`, so capacity scales with
+        slice size: S chips × 16 GB HBM of int8 leaves.
+
+        Same restrictions as the single-device streamed build (no SOAR,
+        no reorder — each would re-materialize corpus-scale state), plus
+        `num_leaves % S == 0`.
+
+        Args:
+          batches: Zero-arg callable returning an iterator of `[b, D]`
+            row blocks in corpus order, or a list of blocks. Uniform
+            batch sizes avoid per-shape recompiles.
+          num_rows: Total corpus rows (must match the stream).
+          identifiers: Optional `[num_rows]` id array (scattered into
+            per-shard `[L/S, cap]` blocks; omit at extreme scale to let
+            global row indices serve as ids).
+        """
+        from recommenders_tpu.layers import approximate
+
+        inner = self._scann
+        if inner._soar_lambda is not None:
+            raise ValueError(
+                "index_streamed does not support soar_lambda (SOAR "
+                "doubles leaf memory; the streamed build exists because "
+                "memory is the binding constraint)."
+            )
+        if callable(batches):
+            factory = batches
+        else:
+            blocks = list(batches)
+            factory = lambda: iter(blocks)  # noqa: E731
+        identifiers_h = None
+        if identifiers is not None:
+            identifiers_h = np.asarray(identifiers)
+            if identifiers_h.shape[0] != num_rows:
+                raise ValueError(
+                    f"identifiers rows ({identifiers_h.shape[0]}) != "
+                    f"num_rows ({num_rows})."
+                )
+        devs = _shard_devices(self._mesh, self._axis)
+        s = len(devs)
+        num_leaves = min(inner._num_leaves, num_rows)
+        if num_leaves % s != 0:
+            raise ValueError(
+                f"num_leaves ({num_leaves}) must divide evenly over the "
+                f"{s}-way '{self._axis}' axis."
+            )
+        l_local = num_leaves // s
+        capacity = inner._capacity(num_leaves, num_rows)
+        packed4 = inner._quantize == "int4"
+
+        # Pass 1: stride-sample rows for centroid training (bounded:
+        # kmeans_sample_size × d on the default device).
+        sample_target = min(inner._kmeans_sample or (1 << 21), num_rows)
+        rng = np.random.RandomState(inner._seed)
+        parts = []
+        seen = 0
+        for batch in factory():
+            batch = jnp.asarray(batch)
+            b = batch.shape[0]
+            take = min(b, int(np.ceil(sample_target * b / num_rows)))
+            if take:
+                idx = np.sort(rng.choice(b, size=take, replace=False))
+                parts.append(batch[jnp.asarray(idx)])
+            seen += b
+        if seen != num_rows:
+            raise ValueError(
+                f"Batches supplied {seen} rows, expected num_rows="
+                f"{num_rows}."
+            )
+        sample = jnp.concatenate(parts, axis=0).astype(jnp.float32)
+        del parts
+        centroids = approximate.kmeans_device(
+            sample, num_leaves, inner._iterations, inner._seed,
+            chunk=inner._assign_chunk,
+        )
+        del sample
+
+        # Pass 2: top-R assignment + bounded-capacity packing on the
+        # default device; assignment maps stage on host.
+        rounds = min(inner._spill_rounds, num_leaves)
+        choices = jnp.zeros((num_rows, rounds), jnp.int32)
+        off = 0
+        for batch in factory():
+            batch = jnp.asarray(batch).astype(jnp.float32)
+            ch = approximate._topr_assign_device(
+                batch, centroids, rounds, inner._assign_chunk
+            )
+            choices = layers_ftk._write_rows(choices, ch, off)
+            off += batch.shape[0]
+        leaf_of, slot_of, unplaced = approximate._pack_assign_device(
+            choices, num_leaves, capacity
+        )
+        if int(unplaced) > 0:
+            raise ValueError(
+                f"{int(unplaced)} rows could not be placed within their "
+                f"{rounds} nearest leaves; increase `leaf_capacity`, "
+                "`num_leaves`, or `spill_rounds`."
+            )
+        leaf_of_h = np.asarray(leaf_of)
+        slot_of_h = np.asarray(slot_of)
+        del choices, leaf_of, slot_of
+
+        # Pass 3: broadcast each batch; every shard quantizes locally
+        # and scatters the rows of leaves it owns (sentinel l_local
+        # drops the rest). Build-time compute is S× one device's, but
+        # the batch transfer would dominate either way and the scatter
+        # runs fully parallel across the slice.
+        d = centroids.shape[1]
+        rows_bufs = [
+            _full_on((l_local, capacity), -1, jnp.int32, dev)
+            for dev in devs
+        ]
+        valid_bufs = [
+            _zeros_on((l_local, capacity), jnp.bool_, dev) for dev in devs
+        ]
+        if inner._quantize:
+            bits = 4 if packed4 else 8
+            code_cap = capacity // 2 if packed4 else capacity
+            embs_bufs = [
+                _zeros_on((l_local, code_cap, d), jnp.int8, dev)
+                for dev in devs
+            ]
+            scales_bufs = [
+                _zeros_on((l_local, capacity), jnp.float32, dev)
+                for dev in devs
+            ]
+        else:
+            embs_bufs = [
+                _zeros_on((l_local, capacity, d), inner._leaf_dtype, dev)
+                for dev in devs
+            ]
+            scales_bufs = None
+        ids_bufs = (
+            None if identifiers_h is None
+            else [
+                _zeros_on(
+                    (l_local, capacity), jnp.asarray(identifiers_h).dtype,
+                    dev,
+                )
+                for dev in devs
+            ]
+        )
+        off = 0
+        for batch in factory():
+            if not hasattr(batch, "ndim"):
+                batch = np.asarray(batch)
+            b = batch.shape[0]
+            leaf_b = leaf_of_h[off:off + b]
+            slot_b = slot_of_h[off:off + b].astype(np.int32)
+            for i, dev in enumerate(devs):
+                lp = leaf_b - i * l_local
+                lp = np.where(
+                    (lp >= 0) & (lp < l_local), lp, l_local
+                ).astype(np.int32)
+                batch_d = jax.device_put(batch, dev).astype(jnp.float32)
+                leaf_d = jax.device_put(lp, dev)
+                slot_d = jax.device_put(slot_b, dev)
+                if inner._quantize:
+                    (embs_bufs[i], scales_bufs[i], rows_bufs[i],
+                     valid_bufs[i]) = approximate._scatter_batch_quantized(
+                        embs_bufs[i], scales_bufs[i], rows_bufs[i],
+                        valid_bufs[i], batch_d, leaf_d, slot_d,
+                        jnp.int32(off),
+                        threshold=inner._anisotropic_threshold,
+                        bits=bits, half=capacity // 2,
+                    )
+                else:
+                    embs_bufs[i], rows_bufs[i], valid_bufs[i] = (
+                        approximate._scatter_batch(
+                            embs_bufs[i], rows_bufs[i], valid_bufs[i],
+                            batch_d, leaf_d, slot_d, jnp.int32(off),
+                        )
+                    )
+                if ids_bufs is not None:
+                    ids_d = jax.device_put(
+                        identifiers_h[off:off + b], dev
+                    )
+                    ids_bufs[i] = _scatter_ids(
+                        ids_bufs[i], ids_d, leaf_d, slot_d
+                    )
+            off += b
+
+        rep = NamedSharding(self._mesh, P())
+        self._centroids = jax.device_put(centroids, rep)
+        self._leaf_embs = _assemble_sharded(
+            self._mesh, self._axis, embs_bufs
+        )
+        self._leaf_scales = (
+            None if scales_bufs is None
+            else _assemble_sharded(self._mesh, self._axis, scales_bufs)
+        )
+        self._leaf_rows = _assemble_sharded(
+            self._mesh, self._axis, rows_bufs
+        )
+        self._leaf_valid = _assemble_sharded(
+            self._mesh, self._axis, valid_bufs
+        )
+        self._leaf_ids = (
+            self._leaf_rows if ids_bufs is None
+            else _assemble_sharded(self._mesh, self._axis, ids_bufs)
+        )
+        self._num_leaves = num_leaves
+        self._num_candidates = num_rows
+        inner._num_candidates = num_rows
         self._built = True
         self._fns = {}
         return self

@@ -221,3 +221,112 @@ def test_sharded_bucketed_query_with_exclusions():
         assert not set(np.asarray(ex_ids)[i]) & set(
             np.asarray(exclusions)[i]
         )
+
+
+# ---------------------------------------------------------------------------
+# Streamed SHARDED builds: the corpus never materializes on one device.
+# ---------------------------------------------------------------------------
+
+
+def _batches(corpus, batch):
+    """Zero-arg factory of host (NumPy) row blocks — the at-scale feed."""
+    host = np.asarray(corpus)
+
+    def factory():
+        for i in range(0, host.shape[0], batch):
+            yield host[i:i + batch]
+
+    return factory
+
+
+def _assert_sharded_over(arr, mesh, axis):
+    """Every addressable shard sits on a distinct device and holds
+    exactly 1/S of the leading dim — the corpus was never whole on any
+    single device."""
+    s = mesh.shape[axis]
+    shards = arr.addressable_shards
+    assert len(shards) == s
+    assert len({sh.device for sh in shards}) == s
+    for sh in shards:
+        assert sh.data.shape[0] == arr.shape[0] // s, (
+            sh.data.shape, arr.shape)
+
+
+@pytest.mark.parametrize("quantize", [False, "int8", "int4"])
+@pytest.mark.parametrize("n", [4096, 3000])  # aligned and ragged
+def test_sharded_bucketed_streamed_matches_eager(quantize, n):
+    """index_streamed == index, with batches that straddle shard row
+    boundaries (batch 704 vs rows-per-shard 512/1024)."""
+    queries, corpus = _clustered(n, 128, 16, seed=8)
+    chunk = 512 if quantize != "int4" else 1024
+    kw = dict(k=20, buckets=512, chunk=chunk, quantize=quantize)
+    eager = ann_lib.ShardedBucketed(**kw).index(corpus)
+    want = eager(queries)
+    streamed = ann_lib.ShardedBucketed(**kw).index_streamed(
+        _batches(corpus, 704), n
+    )
+    _assert_sharded_over(streamed._candidates, streamed._mesh,
+                         streamed._axis)
+    got = streamed(queries)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+
+def test_sharded_bucketed_streamed_identifiers_and_counts():
+    queries, corpus = _clustered(1536, 128, 8, seed=9)
+    ids = jnp.asarray(np.arange(1536, dtype=np.int64) * 7 + 3)
+    index = ann_lib.ShardedBucketed(
+        k=10, buckets=512, chunk=512
+    ).index_streamed(_batches(corpus, 512), 1536, ids)
+    _, got = index(queries)
+    assert set(np.asarray(got).ravel()) <= set(np.asarray(ids))
+    with pytest.raises(ValueError, match="num_rows"):
+        ann_lib.ShardedBucketed(
+            k=10, buckets=512, chunk=512
+        ).index_streamed(_batches(corpus, 512), 2000)
+
+
+@pytest.mark.parametrize("quantize", [False, "int8", "int4"])
+def test_sharded_scann_streamed_matches_single_device(quantize):
+    """Sharded streamed build == single-device streamed build (same
+    sample, same centroids, same packing), queried at parity."""
+    queries, corpus = _clustered(4096, 128, 16, seed=10)
+    params = _scann_params(quantize=quantize)
+    single = approximate.ScaNN(**params).index_streamed(
+        _batches(corpus, 768), 4096
+    )
+    want = single(queries)
+    sharded = ann_lib.ShardedScaNN(
+        approximate.ScaNN(**params)
+    ).index_streamed(_batches(corpus, 768), 4096)
+    for arr in (sharded._leaf_embs, sharded._leaf_rows,
+                sharded._leaf_valid):
+        _assert_sharded_over(arr, sharded._mesh, sharded._axis)
+    got = sharded(queries)
+    _assert_topk_equal(
+        got, want, f"streamed quantize={quantize}",
+        rtol=1e-5 if quantize is False else 0.0,
+    )
+
+
+def test_sharded_scann_streamed_identifiers():
+    queries, corpus = _clustered(2048, 128, 8, seed=11)
+    ids = np.arange(2048, dtype=np.int32) * 3 + 1
+    sharded = ann_lib.ShardedScaNN(
+        approximate.ScaNN(**_scann_params(quantize="int8"))
+    ).index_streamed(_batches(corpus, 512), 2048, ids)
+    _, got = sharded(queries)
+    assert set(np.asarray(got).ravel()) <= set(ids)
+    single = approximate.ScaNN(
+        **_scann_params(quantize="int8")
+    ).index_streamed(_batches(corpus, 512), 2048, jnp.asarray(ids))
+    _, want = single(queries)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_scann_streamed_rejects_soar():
+    with pytest.raises(ValueError, match="soar"):
+        ann_lib.ShardedScaNN(
+            approximate.ScaNN(**_scann_params(soar_lambda=1.2))
+        ).index_streamed(_batches(np.zeros((512, 128), np.float32), 128),
+                         512)

@@ -25,6 +25,17 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("filter", nargs="?", default="")
     parser.add_argument("--timeout", type=int, default=600)
+    parser.add_argument(
+        "--budget", type=int, default=120,
+        help="per-example time budget (s); overruns are reported "
+        "(and FAIL the gate) even when the example passes",
+    )
+    parser.add_argument(
+        "--platform", default="cpu",
+        help="JAX platform for the examples (default cpu: the gate is "
+        "an integration test; an ambient remote-TPU plugin would pay "
+        "a per-dispatch tunnel round-trip per step and 7x the gate)",
+    )
     args = parser.parse_args()
 
     scripts = sorted(glob.glob(os.path.join(REPO, "examples", "*.py")))
@@ -51,9 +62,11 @@ def main() -> int:
                 "if p else ''); "
                 "runpy.run_path(sys.argv[1], run_name='__main__')"
             )
+            env = dict(os.environ, JAX_PLATFORMS=args.platform)
             proc = subprocess.run(
                 [sys.executable, "-c", bootstrap, script, REPO],
                 cwd=REPO,
+                env=env,
                 capture_output=True,
                 text=True,
                 timeout=args.timeout,
@@ -63,8 +76,14 @@ def main() -> int:
         except subprocess.TimeoutExpired:
             ok, tail = False, [f"TIMEOUT after {args.timeout}s"]
         elapsed = time.perf_counter() - start
+        over = elapsed > args.budget
         status = "PASS" if ok else "FAIL"
-        print(f"[{status}] {name} ({elapsed:.1f}s)")
+        print(
+            f"[{status}] {name} ({elapsed:.1f}s"
+            f"{f' — OVER {args.budget}s budget' if over else ''})"
+        )
+        if ok and over:
+            failures += 1
         if not ok:
             failures += 1
             for line in tail:
