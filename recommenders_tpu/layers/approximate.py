@@ -559,6 +559,55 @@ def _dedup_topk(
     return top_scores, top_ids, top_rows
 
 
+def _tile_probes(
+    queries: Array, cscores: Array, num_probes: int, tile: int
+) -> Tuple[Array, Array, Optional[Array]]:
+    """Probe lists per query tile; shared by the single-device bucketed
+    search and `parallel.ann.ShardedScaNN`'s per-shard fold (identical
+    probe construction is what makes the sharded scores an exact
+    partition of the unsharded ones).
+
+    With `tile == 1`: per-query top-P probes, queries untouched.
+    With `tile > 1`: sort queries by primary centroid so tiles are
+    probe-coherent, then give every tile member its personal
+    top-⌈P/tile⌉ leaves, interleaved rank-major (all rank-0 probes
+    first) so truncation to P stays fair. Sorting each tile's probe
+    list ascending makes duplicate entries ADJACENT — the Pallas
+    pipeline skips the HBM→VMEM copy when consecutive grid steps map to
+    the same block, so coherent tiles pay only for their UNIQUE leaves.
+
+    Returns `(queries, probes [tiles, P] int32, inv)` where `inv`
+    restores the original query order (None when tile == 1).
+    """
+    if tile == 1:
+        _, probes = jax.lax.top_k(cscores, num_probes)  # [Q, P]
+        return queries, probes.astype(jnp.int32), None
+    q = queries.shape[0]
+    primary = jnp.argmax(cscores, axis=1)
+    order = jnp.argsort(primary)
+    queries = queries[order]
+    cscores = cscores[order]
+    tiles = q // tile
+    p_each = num_probes // tile
+    parts = []
+    if p_each:
+        _, per_q = jax.lax.top_k(cscores, p_each)  # [Q, p']
+        parts.append(
+            per_q.reshape(tiles, tile, p_each)
+            .transpose(0, 2, 1)
+            .reshape(tiles, tile * p_each)
+        )
+    rem = num_probes - p_each * tile
+    if rem:
+        # Slots beyond the per-query floor: the tile's consensus
+        # leaves (max affinity over members).
+        tile_aff = jnp.max(cscores.reshape(tiles, tile, -1), axis=1)
+        _, shared = jax.lax.top_k(tile_aff, rem)
+        parts.append(shared)
+    probes = jnp.sort(jnp.concatenate(parts, axis=1), axis=1)
+    return queries, probes.astype(jnp.int32), jnp.argsort(order)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -597,41 +646,7 @@ def _search_bucketed(
     """
     q, d = queries.shape
     cscores = queries @ centroids.T  # [Q, L]
-    inv = None
-    if tile > 1:
-        # Sort queries by primary centroid so tiles are probe-coherent,
-        # then give every tile member its personal top-⌈P/tile⌉ leaves,
-        # interleaved rank-major (all rank-0 probes first) so truncation
-        # to P stays fair. Sorting each tile's probe list ascending
-        # makes duplicate entries ADJACENT — the Pallas pipeline skips
-        # the HBM→VMEM copy when consecutive grid steps map to the same
-        # block, so coherent tiles pay only for their UNIQUE leaves.
-        primary = jnp.argmax(cscores, axis=1)
-        order = jnp.argsort(primary)
-        queries = queries[order]
-        cscores = cscores[order]
-        tiles = q // tile
-        p_each = num_probes // tile
-        parts = []
-        if p_each:
-            _, per_q = jax.lax.top_k(cscores, p_each)  # [Q, p']
-            parts.append(
-                per_q.reshape(tiles, tile, p_each)
-                .transpose(0, 2, 1)
-                .reshape(tiles, tile * p_each)
-            )
-        rem = num_probes - p_each * tile
-        if rem:
-            # Slots beyond the per-query floor: the tile's consensus
-            # leaves (max affinity over members).
-            tile_aff = jnp.max(cscores.reshape(tiles, tile, -1), axis=1)
-            _, shared = jax.lax.top_k(tile_aff, rem)
-            parts.append(shared)
-        probes = jnp.sort(jnp.concatenate(parts, axis=1), axis=1)
-        inv = jnp.argsort(order)
-    else:
-        _, probes = jax.lax.top_k(cscores, num_probes)  # [Q, P]
-    probes = probes.astype(jnp.int32)
+    queries, probes, inv = _tile_probes(queries, cscores, num_probes, tile)
     packed4 = quantized == "int4"
     scales = leaf_scales if quantized else None
     # Effective fold width cannot exceed leaf capacity (a leaf with

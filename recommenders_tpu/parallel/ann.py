@@ -492,30 +492,56 @@ class ShardedBucketed(layers_ftk.TopK):
         return False
 
 
+def _pad_block_sentinel(arr: Array, s: int, fill) -> Array:
+    """`[s·l, ...] → [s·(l+1), ...]`: appends one `fill` block per
+    shard. The sentinel is an all-invalid leaf every shard parks its
+    FOREIGN probes on — its rows are -1, so the bucketed fold and the
+    validity masks drop it exactly, and because it is the largest local
+    index, ascending-sorted probe lists make all sentinel entries
+    adjacent (the Pallas pipeline then streams the block once)."""
+    l = arr.shape[0] // s
+    a = arr.reshape((s, l) + arr.shape[1:])
+    pad = jnp.full((s, 1) + arr.shape[1:], fill, arr.dtype)
+    return jnp.concatenate([a, pad], axis=1).reshape(
+        (s * (l + 1),) + arr.shape[1:]
+    )
+
+
 class ShardedScaNN(layers_ftk.TopK):
     """ScaNN-style probed serving with leaves sharded over the mesh.
 
     Wraps a configured `layers.approximate.ScaNN`: `index()` runs its
     normal (device or host) build, then re-shards the leaf blocks over
-    `mesh[axis]` with centroids replicated. Queries run SPMD: every
-    shard derives the same global top-P probe list from the replicated
-    centroids, scores the probed leaves it owns, and the global top-k
-    is an `all_gather + re-top-k`. SOAR-built indexes deduplicate
-    globally AFTER the gather (a row's primary and secondary copies may
-    live on different shards).
+    `mesh[axis]` with centroids replicated (`index_streamed` builds the
+    shards in place — see its docstring). Queries run SPMD: every shard
+    derives the same global top-P probe list from the replicated
+    centroids, scores the probed leaves it owns (foreign probes park on
+    a per-shard all-invalid sentinel leaf), and the global top-k is an
+    `all_gather + re-top-k`. SOAR-built indexes deduplicate globally
+    AFTER the gather (a row's primary and secondary copies may live on
+    different shards).
 
-    v1 restrictions (raise at construction): `num_reordering_candidates`
-    (exact reorder needs a row-sharded corpus gather) and
-    `scoring_buckets`/`probe_tile` (per-shard bucketed probing) are not
-    yet supported sharded; `num_leaves` must divide evenly by the axis
-    size.
+    The inner index's full production configuration shards:
+      - `scoring_buckets`/`probe_tile`: each shard runs the probed
+        bucketed-argmax fold over the leaves it owns — scores partition
+        exactly across shards, and each shard folds into its OWN bucket
+        state, so sharding never lowers bucket recall (effective width
+        is devices × buckets, as with `ShardedBucketed`).
+      - `num_reordering_candidates`: the exact reorder corpus is
+        ROW-sharded over the same axis; the globally re-top-k'd
+        shortlist is re-scored by whichever shard owns each row and
+        combined with a `pmax` (each row is owned exactly once, so the
+        result equals the single-device reorder bit for bit).
+
+    `num_leaves` must divide evenly by the axis size.
 
     Attributes:
       scann: The configured (unbuilt) single-device index to build and
-        shard. Its `k`, `query_fn`, probing, quantization, and SOAR
-        settings all apply.
+        shard. Its `k`, `query_fn`, probing, quantization, bucketed
+        scoring, reorder, and SOAR settings all apply.
       mesh: Device mesh; defaults to all devices on one `axis`.
-      axis: Mesh axis name sharding the leaves.
+      axis: Mesh axis name sharding the leaves (and, with reorder, the
+        corpus rows).
     """
 
     def __init__(
@@ -530,17 +556,6 @@ class ShardedScaNN(layers_ftk.TopK):
             raise ValueError(
                 f"scann must be a layers.approximate.ScaNN; got "
                 f"{type(scann).__name__}."
-            )
-        if scann._reorder_n:
-            raise ValueError(
-                "ShardedScaNN does not support num_reordering_candidates "
-                "yet (the exact reorder needs a row-sharded corpus "
-                "gather)."
-            )
-        if scann._scoring_buckets is not None:
-            raise ValueError(
-                "ShardedScaNN does not support scoring_buckets yet; use "
-                "the probed-gather scoring path."
             )
         super().__init__(k=scann.k)
         self._scann = scann
@@ -573,21 +588,51 @@ class ShardedScaNN(layers_ftk.TopK):
             )
         leaf_sharding = NamedSharding(self._mesh, P(self._axis))
         rep = NamedSharding(self._mesh, P())
+        sent = lambda arr, fill: _pad_block_sentinel(arr, s, fill)  # noqa: E731
         self._centroids = jax.device_put(inner._centroids, rep)
-        self._leaf_embs = jax.device_put(inner._leaf_embs, leaf_sharding)
+        self._leaf_embs = jax.device_put(
+            sent(inner._leaf_embs, 0), leaf_sharding
+        )
         self._leaf_scales = (
             None if inner._leaf_scales is None
-            else jax.device_put(inner._leaf_scales, leaf_sharding)
+            else jax.device_put(sent(inner._leaf_scales, 0), leaf_sharding)
         )
-        self._leaf_ids = jax.device_put(inner._leaf_ids, leaf_sharding)
-        self._leaf_rows = jax.device_put(inner._leaf_rows, leaf_sharding)
-        self._leaf_valid = jax.device_put(inner._leaf_valid, leaf_sharding)
+        self._leaf_ids = jax.device_put(
+            sent(inner._leaf_ids, 0), leaf_sharding
+        )
+        self._leaf_rows = jax.device_put(
+            sent(inner._leaf_rows, -1), leaf_sharding
+        )
+        self._leaf_valid = jax.device_put(
+            sent(inner._leaf_valid, False), leaf_sharding
+        )
+        n = inner._num_candidates
+        # Replicated [N] id table for the bucketed and reorder paths
+        # (which carry global ROWS, not per-leaf gathers). None when the
+        # caller gave no identifiers — rows then double as ids.
+        self._global_ids = (
+            None if identifiers is None
+            else jax.device_put(jnp.asarray(identifiers), rep)
+        )
+        if inner._reorder_n:
+            # Row-shard the exact-reorder corpus over the same axis.
+            rps = -(-n // s)
+            corpus = jnp.pad(inner._corpus, ((0, s * rps - n), (0, 0)))
+            self._corpus = jax.device_put(
+                corpus, NamedSharding(self._mesh, P(self._axis))
+            )
+            self._corpus_rps = rps
+            inner._corpus = None
+            inner._identifiers = None
+        else:
+            self._corpus = None
         self._num_leaves = num_leaves
-        self._num_candidates = inner._num_candidates
+        self._num_candidates = n
         # The single-device leaf blocks are superseded by the sharded
         # copies; drop them so the unsharded placement does not pin HBM.
         inner._leaf_embs = inner._leaf_scales = None
         inner._leaf_ids = inner._leaf_rows = inner._leaf_valid = None
+        inner._flat_ids = None
         inner._built = False
         self._built = True
         self._fns = {}
@@ -615,9 +660,14 @@ class ShardedScaNN(layers_ftk.TopK):
         memory is `num_leaves/S × capacity`, so capacity scales with
         slice size: S chips × 16 GB HBM of int8 leaves.
 
-        Same restrictions as the single-device streamed build (no SOAR,
-        no reorder — each would re-materialize corpus-scale state), plus
-        `num_leaves % S == 0`.
+        Same SOAR restriction as the single-device streamed build
+        (doubling leaf memory defeats streaming), plus
+        `num_leaves % S == 0`. Unlike the single-device streamed build,
+        `num_reordering_candidates` IS supported: the exact-reorder
+        corpus is row-sharded across the slice during the scatter pass
+        (each row block goes straight to its range owner), so the
+        probe→reorder cascade works at corpus sizes where no single
+        device could hold the reorder corpus.
 
         Args:
           batches: Zero-arg callable returning an iterator of `[b, D]`
@@ -715,32 +765,36 @@ class ShardedScaNN(layers_ftk.TopK):
         del choices, leaf_of, slot_of
 
         # Pass 3: broadcast each batch; every shard quantizes locally
-        # and scatters the rows of leaves it owns (sentinel l_local
-        # drops the rest). Build-time compute is S× one device's, but
-        # the batch transfer would dominate either way and the scatter
-        # runs fully parallel across the slice.
+        # and scatters the rows of leaves it owns (foreign rows map past
+        # the sentinel block and drop). Build-time compute is S× one
+        # device's, but the batch transfer would dominate either way and
+        # the scatter runs fully parallel across the slice. Each shard
+        # stores l_local + 1 blocks: the last is the all-invalid
+        # SENTINEL leaf foreign probes park on at query time
+        # (`_pad_block_sentinel`) — rows stay -1, embs/scales stay zero.
         d = centroids.shape[1]
+        stored_l = l_local + 1
         rows_bufs = [
-            _full_on((l_local, capacity), -1, jnp.int32, dev)
+            _full_on((stored_l, capacity), -1, jnp.int32, dev)
             for dev in devs
         ]
         valid_bufs = [
-            _zeros_on((l_local, capacity), jnp.bool_, dev) for dev in devs
+            _zeros_on((stored_l, capacity), jnp.bool_, dev) for dev in devs
         ]
         if inner._quantize:
             bits = 4 if packed4 else 8
             code_cap = capacity // 2 if packed4 else capacity
             embs_bufs = [
-                _zeros_on((l_local, code_cap, d), jnp.int8, dev)
+                _zeros_on((stored_l, code_cap, d), jnp.int8, dev)
                 for dev in devs
             ]
             scales_bufs = [
-                _zeros_on((l_local, capacity), jnp.float32, dev)
+                _zeros_on((stored_l, capacity), jnp.float32, dev)
                 for dev in devs
             ]
         else:
             embs_bufs = [
-                _zeros_on((l_local, capacity, d), inner._leaf_dtype, dev)
+                _zeros_on((stored_l, capacity, d), inner._leaf_dtype, dev)
                 for dev in devs
             ]
             scales_bufs = None
@@ -748,12 +802,21 @@ class ShardedScaNN(layers_ftk.TopK):
             None if identifiers_h is None
             else [
                 _zeros_on(
-                    (l_local, capacity), jnp.asarray(identifiers_h).dtype,
+                    (stored_l, capacity), jnp.asarray(identifiers_h).dtype,
                     dev,
                 )
                 for dev in devs
             ]
         )
+        # Reorder corpus: row-sharded by contiguous ranges (independent
+        # of leaf ownership — the reorder gather masks by row range).
+        reorder = bool(inner._reorder_n)
+        if reorder:
+            rps_r = -(-num_rows // s)
+            corpus_bufs = [
+                _zeros_on((rps_r, d), inner._reorder_dtype, dev)
+                for dev in devs
+            ]
         off = 0
         for batch in factory():
             if not hasattr(batch, "ndim"):
@@ -763,8 +826,10 @@ class ShardedScaNN(layers_ftk.TopK):
             slot_b = slot_of_h[off:off + b].astype(np.int32)
             for i, dev in enumerate(devs):
                 lp = leaf_b - i * l_local
+                # Foreign rows map BEYOND the sentinel block (which must
+                # stay empty) and drop out of bounds.
                 lp = np.where(
-                    (lp >= 0) & (lp < l_local), lp, l_local
+                    (lp >= 0) & (lp < l_local), lp, stored_l
                 ).astype(np.int32)
                 batch_d = jax.device_put(batch, dev).astype(jnp.float32)
                 leaf_d = jax.device_put(lp, dev)
@@ -792,6 +857,19 @@ class ShardedScaNN(layers_ftk.TopK):
                     ids_bufs[i] = _scatter_ids(
                         ids_bufs[i], ids_d, leaf_d, slot_d
                     )
+            if reorder:
+                pos = 0
+                while pos < b:
+                    shard = (off + pos) // rps_r
+                    local = (off + pos) % rps_r
+                    take = min(b - pos, rps_r - local)
+                    piece = jax.device_put(
+                        batch[pos:pos + take], devs[shard]
+                    ).astype(inner._reorder_dtype)
+                    corpus_bufs[shard] = layers_ftk._write_rows(
+                        corpus_bufs[shard], piece, local
+                    )
+                    pos += take
             off += b
 
         rep = NamedSharding(self._mesh, P())
@@ -813,6 +891,17 @@ class ShardedScaNN(layers_ftk.TopK):
             self._leaf_rows if ids_bufs is None
             else _assemble_sharded(self._mesh, self._axis, ids_bufs)
         )
+        self._global_ids = (
+            None if identifiers_h is None
+            else jax.device_put(jnp.asarray(identifiers_h), rep)
+        )
+        if reorder:
+            self._corpus = _assemble_sharded(
+                self._mesh, self._axis, corpus_bufs
+            )
+            self._corpus_rps = rps_r
+        else:
+            self._corpus = None
         self._num_leaves = num_leaves
         self._num_candidates = num_rows
         inner._num_candidates = num_rows
@@ -821,6 +910,7 @@ class ShardedScaNN(layers_ftk.TopK):
         return self
 
     def _make_fn(self, k: int):
+        from recommenders_tpu.layers import approximate
         from recommenders_tpu.ops import leaf_scoring
 
         inner = self._scann
@@ -831,74 +921,144 @@ class ShardedScaNN(layers_ftk.TopK):
         quantized = inner._quantize
         packed4 = quantized == "int4"
         dedup = inner._soar_lambda is not None
+        reorder_n = inner._reorder_n
+        shortlist = max(k, reorder_n) if reorder_n else k
+        bucketed = inner._scoring_buckets is not None
+        tile = inner._probe_tile if bucketed else 1
         cap_store = self._leaf_embs.shape[1]
+        cap_logical = cap_store * (2 if packed4 else 1)
         d = self._centroids.shape[1]
         use_kernel = (
             jax.default_backend() != "cpu"
             and d % 128 == 0
             and cap_store % 128 == 0
         )
+        rps = getattr(self, "_corpus_rps", None)
 
-        def local_query(queries, centroids, embs, scales, ids, rows,
-                        valid):
-            cscores = queries @ centroids.T          # [Q, L] (replicated)
-            _, probes = jax.lax.top_k(cscores, num_probes)
-            probes = probes.astype(jnp.int32)
+        def local_query(queries, a):
+            cscores = queries @ a["centroids"].T     # [Q, L] (replicated)
             lo = jax.lax.axis_index(axis) * l_local
-            lp = probes - lo
-            mine = (lp >= 0) & (lp < l_local)
-            lpc = jnp.clip(lp, 0, l_local - 1)
-            sc = None if scales is None else scales
-            if use_kernel:
-                scores = leaf_scoring.probed_leaf_scores(
-                    queries, embs, sc, lpc, packed4=packed4
+            q = queries.shape[0]
+            if bucketed:
+                buckets = min(inner._scoring_buckets, cap_logical)
+                # Identical probe construction on every shard
+                # (replicated centroids), so per-shard scores partition
+                # the unsharded kernel's exactly.
+                q_t, probes, inv = approximate._tile_probes(
+                    queries, cscores, num_probes, tile
+                )
+                lp = probes - lo
+                # Foreign probes park on the sentinel leaf (the largest
+                # local index, all rows -1 ⇒ folds to nothing);
+                # ascending sort makes sentinel entries adjacent, so
+                # the pipeline streams that block once. Probe order
+                # within a tile is irrelevant to the running max.
+                lp = jnp.sort(
+                    jnp.where((lp >= 0) & (lp < l_local), lp, l_local),
+                    axis=1,
+                )
+                if use_kernel:
+                    vals, rows = leaf_scoring.probed_bucketed_scores(
+                        q_t, a["embs"], a.get("scales"), a["rows"], lp,
+                        buckets, query_tile=tile, packed4=packed4,
+                    )
+                else:
+                    vals, rows = leaf_scoring.probed_bucketed_reference(
+                        q_t, a["embs"], a.get("scales"), a["rows"], lp,
+                        buckets, query_tile=tile, packed4=packed4,
+                    )
+                if inv is not None:
+                    vals, rows = vals[inv], rows[inv]
+                fetch = min(
+                    2 * shortlist if dedup else shortlist, buckets
+                )
+                ls, idx = jax.lax.top_k(vals, fetch)
+                lr = jnp.take_along_axis(rows, idx, axis=1)
+                li = (
+                    lr if "gids" not in a
+                    else a["gids"][jnp.maximum(lr, 0)]
                 )
             else:
-                scores = leaf_scoring.probed_scores_reference(
-                    queries, embs, sc, lpc, packed4=packed4
+                _, probes = jax.lax.top_k(cscores, num_probes)
+                probes = probes.astype(jnp.int32)
+                lp = probes - lo
+                # Foreign probes hit the sentinel leaf, whose validity
+                # is all-False — one mask covers both padding slots and
+                # foreign leaves.
+                lpc = jnp.where(
+                    (lp >= 0) & (lp < l_local), lp, l_local
                 )
-            q = queries.shape[0]
-            ok = valid[lpc] & mine[..., None]        # [Q, P, cap]
-            scores = jnp.where(ok.reshape(q, -1), scores, MIN_FLOAT)
-            flat_ids = ids[lpc].reshape(q, -1)
-            flat_rows = rows[lpc].reshape(q, -1)
-            fetch = min(2 * k if dedup else k, scores.shape[1])
-            ls, idx = jax.lax.top_k(scores, fetch)
-            li = jnp.take_along_axis(flat_ids, idx, axis=1)
-            lr = jnp.take_along_axis(flat_rows, idx, axis=1)
+                sc = a.get("scales")
+                if use_kernel:
+                    scores = leaf_scoring.probed_leaf_scores(
+                        queries, a["embs"], sc, lpc, packed4=packed4
+                    )
+                else:
+                    scores = leaf_scoring.probed_scores_reference(
+                        queries, a["embs"], sc, lpc, packed4=packed4
+                    )
+                ok = a["valid"][lpc]                 # [Q, P, cap]
+                scores = jnp.where(ok.reshape(q, -1), scores, MIN_FLOAT)
+                flat_ids = a["ids"][lpc].reshape(q, -1)
+                flat_rows = a["rows"][lpc].reshape(q, -1)
+                fetch = min(
+                    2 * shortlist if dedup else shortlist,
+                    scores.shape[1],
+                )
+                ls, idx = jax.lax.top_k(scores, fetch)
+                li = jnp.take_along_axis(flat_ids, idx, axis=1)
+                lr = jnp.take_along_axis(flat_rows, idx, axis=1)
             gs = jax.lax.all_gather(ls, axis, axis=1, tiled=True)
             gi = jax.lax.all_gather(li, axis, axis=1, tiled=True)
             gr = jax.lax.all_gather(lr, axis, axis=1, tiled=True)
             if dedup:
-                from recommenders_tpu.layers import approximate
-
                 # Global dedup: a SOAR row's two copies may come from
-                # different shards. Each shard fetched 2k, so k unique
-                # survivors are guaranteed.
-                ts, ti, _ = approximate._dedup_topk(gs, gi, gr, k)
-                return ts, ti
-            ts, idx2 = jax.lax.top_k(gs, min(k, gs.shape[1]))
-            return ts, jnp.take_along_axis(gi, idx2, axis=1)
-
-        leaf_spec = P(self._axis)
-        if self._leaf_scales is None:
-            def wrapped(queries, centroids, embs, ids, rows, valid):
-                return local_query(
-                    queries, centroids, embs, None, ids, rows, valid
+                # different shards. Each shard fetched 2·shortlist, so
+                # `shortlist` unique survivors are guaranteed.
+                ts, ti, tr = approximate._dedup_topk(
+                    gs, gi, gr, shortlist
                 )
+            else:
+                w = min(shortlist, gs.shape[1])
+                ts, idx2 = jax.lax.top_k(gs, w)
+                ti = jnp.take_along_axis(gi, idx2, axis=1)
+                tr = jnp.take_along_axis(gr, idx2, axis=1)
+            if reorder_n:
+                # Exact reorder over the ROW-sharded corpus: the
+                # globally re-top-k'd shortlist is replicated; each row
+                # is re-scored by the one shard owning it and combined
+                # with pmax — bit-identical to the single-device
+                # `_reorder` (same einsum shape and dtypes per row).
+                my0 = jax.lax.axis_index(axis) * rps
+                lr2 = tr - my0
+                mine = (lr2 >= 0) & (lr2 < rps) & (ts > MIN_FLOAT / 2)
+                gathered = a["corpus"][jnp.clip(lr2, 0, rps - 1)]
+                exact = jnp.einsum(
+                    "qd,qrd->qr", queries, gathered,
+                    preferred_element_type=jnp.float32,
+                )
+                exact = jnp.where(mine, exact, MIN_FLOAT)
+                exact = jax.lax.pmax(exact, axis)
+                kk = min(k, exact.shape[1])
+                ts, idx3 = jax.lax.top_k(exact, kk)
+                return ts, jnp.take_along_axis(ti, idx3, axis=1)
+            kk = min(k, ts.shape[1])
+            return ts[:, :kk], ti[:, :kk]
 
-            sharded = jax.shard_map(
-                wrapped, mesh=self._mesh,
-                in_specs=(P(), P(), leaf_spec, leaf_spec, leaf_spec,
-                          leaf_spec),
-                out_specs=(P(), P()),
-                check_vma=False,
-            )
-            return jax.jit(sharded)
+        leaf = P(self._axis)
+        spec = {
+            "centroids": P(), "embs": leaf, "ids": leaf, "rows": leaf,
+            "valid": leaf,
+        }
+        if self._leaf_scales is not None:
+            spec["scales"] = leaf
+        if bucketed and self._global_ids is not None:
+            spec["gids"] = P()
+        if reorder_n:
+            spec["corpus"] = leaf
         sharded = jax.shard_map(
             local_query, mesh=self._mesh,
-            in_specs=(P(), P(), leaf_spec, leaf_spec, leaf_spec,
-                      leaf_spec, leaf_spec),
+            in_specs=(P(), spec),
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -913,20 +1073,33 @@ class ShardedScaNN(layers_ftk.TopK):
                 "create the retrieval index."
             )
         k = k if k is not None else self._k
+        inner = self._scann
         if self.query_fn is not None:
             queries = self.query_fn(queries)
         k = min(k, self._num_candidates)
         if k not in self._fns:
             self._fns[k] = self._make_fn(k)
-        if self._leaf_scales is None:
-            return self._fns[k](
-                queries, self._centroids, self._leaf_embs,
-                self._leaf_ids, self._leaf_rows, self._leaf_valid,
-            )
-        return self._fns[k](
-            queries, self._centroids, self._leaf_embs, self._leaf_scales,
-            self._leaf_ids, self._leaf_rows, self._leaf_valid,
-        )
+        args = {
+            "centroids": self._centroids, "embs": self._leaf_embs,
+            "ids": self._leaf_ids, "rows": self._leaf_rows,
+            "valid": self._leaf_valid,
+        }
+        if self._leaf_scales is not None:
+            args["scales"] = self._leaf_scales
+        bucketed = inner._scoring_buckets is not None
+        if bucketed and self._global_ids is not None:
+            args["gids"] = self._global_ids
+        if inner._reorder_n:
+            args["corpus"] = self._corpus
+        qn = queries.shape[0]
+        tile = inner._probe_tile if bucketed else 1
+        pad = (-qn) % tile
+        if pad:
+            queries = jnp.pad(queries, ((0, pad), (0, 0)))
+        scores, ids = self._fns[k](queries, args)
+        if pad:
+            scores, ids = scores[:qn], ids[:qn]
+        return scores, ids
 
     def is_exact(self) -> bool:
         return False

@@ -189,16 +189,6 @@ def test_sharded_scann_frees_single_device_leaf_blocks():
 
 
 def test_sharded_scann_rejects_unsupported_configs():
-    with pytest.raises(ValueError, match="reorder"):
-        ann_lib.ShardedScaNN(
-            approximate.ScaNN(**_scann_params(
-                num_reordering_candidates=50
-            ))
-        )
-    with pytest.raises(ValueError, match="scoring_buckets"):
-        ann_lib.ShardedScaNN(
-            approximate.ScaNN(**_scann_params(scoring_buckets=128))
-        )
     with pytest.raises(ValueError, match="ScaNN"):
         ann_lib.ShardedScaNN(factorized_top_k.BruteForce())
     # 60 leaves cannot split 8 ways.
@@ -330,3 +320,146 @@ def test_sharded_scann_streamed_rejects_soar():
             approximate.ScaNN(**_scann_params(soar_lambda=1.2))
         ).index_streamed(_batches(np.zeros((512, 128), np.float32), 128),
                          512)
+
+
+# ---------------------------------------------------------------------------
+# Production ScaNN configurations, sharded: bucketed fold + exact reorder.
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_scann_reorder_matches_single_device():
+    """The row-sharded exact reorder reproduces the single-device
+    cascade bit for bit (each shortlist row is re-scored by exactly one
+    shard with the same einsum shape, pmax-combined)."""
+    queries, corpus = _clustered(4096, 128, 16, seed=12)
+    params = _scann_params(
+        quantize="int4", num_reordering_candidates=60
+    )
+    single = approximate.ScaNN(**params).index(corpus)
+    want = single(queries)
+    sharded = ann_lib.ShardedScaNN(
+        approximate.ScaNN(**params)
+    ).index(corpus)
+    got = sharded(queries)
+    _assert_topk_equal(got, want, "sharded reorder")
+    # Reorder scores are exact dots of the returned ids.
+    exact = np.asarray(queries @ corpus.T)
+    picked = np.take_along_axis(exact, np.asarray(got[1]), axis=1)
+    np.testing.assert_allclose(np.asarray(got[0]), picked, rtol=1e-5)
+
+
+def test_sharded_scann_reorder_with_soar():
+    queries, corpus = _clustered(2048, 128, 8, seed=13)
+    params = _scann_params(
+        quantize="int8", num_reordering_candidates=40, soar_lambda=1.2
+    )
+    single = approximate.ScaNN(**params).index(corpus)
+    want = single(queries)
+    got = ann_lib.ShardedScaNN(
+        approximate.ScaNN(**params)
+    ).index(corpus)(queries)
+    _assert_topk_equal(got, want, "sharded reorder+soar")
+
+
+@pytest.mark.parametrize("tile", [1, 4])
+def test_sharded_scann_bucketed_single_shard_parity(tile):
+    """On a 1-device mesh the per-shard bucketed fold IS the unsharded
+    kernel (no foreign probes); scores must match the single-device
+    scoring_buckets path exactly (ids up to in-bucket ties)."""
+    queries, corpus = _clustered(2048, 128, 16, seed=14)
+    params = _scann_params(
+        quantize="int8", scoring_buckets=128, probe_tile=tile
+    )
+    single = approximate.ScaNN(**params).index(corpus)
+    want = single(queries)
+    mesh1 = mesh_lib.create_mesh(
+        shape=(1,), axis_names=(mesh_lib.MODEL_AXIS,),
+        devices=jax.devices()[:1],
+    )
+    got = ann_lib.ShardedScaNN(
+        approximate.ScaNN(**params), mesh=mesh1
+    ).index(corpus)(queries)
+    _assert_topk_equal(got, want, f"bucketed 1-shard tile={tile}")
+
+
+@pytest.mark.parametrize("tile", [1, 4])
+@pytest.mark.parametrize("quantize", ["int8", "int4"])
+def test_sharded_scann_bucketed_8way(quantize, tile):
+    """8-way sharded bucketed fold: returned scores are exact dots of
+    the returned rows, and recall never drops below the unsharded
+    bucketed path's (each shard folds into its own bucket state)."""
+    queries, corpus = _clustered(4096, 128, 16, seed=15)
+    params = _scann_params(
+        quantize=quantize, scoring_buckets=128, probe_tile=tile
+    )
+    sharded = ann_lib.ShardedScaNN(
+        approximate.ScaNN(**params)
+    ).index(corpus)
+    k = 20
+    gs, gi = sharded(queries)
+    # Scores are the quantized-dot scores of real rows: recompute from
+    # the quantized corpus representation via the unsharded layer's
+    # own scoring of those exact rows — here we settle for exactness
+    # against brute-force on ids (recall) plus monotone scores.
+    assert np.all(np.diff(np.asarray(gs), axis=1) <= 0)
+    assert int(np.asarray(gi).max()) < 4096
+    single = approximate.ScaNN(**params).index(corpus)
+    _, si = single(queries)
+    bf = factorized_top_k.BruteForce(k=k).index(corpus)
+    _, want = bf(queries)
+    def recall(ids):
+        ids = np.asarray(ids)
+        return np.mean([
+            len(set(ids[r]) & set(np.asarray(want)[r])) / k
+            for r in range(ids.shape[0])
+        ])
+    assert recall(gi) >= recall(si) - 1e-9, (recall(gi), recall(si))
+
+
+def test_sharded_scann_bucketed_reorder_cascade():
+    """The production cascade — int4 probe scan, bucketed fold, exact
+    reorder — sharded end to end; reorder restores exact top scores."""
+    queries, corpus = _clustered(4096, 128, 16, seed=16)
+    params = _scann_params(
+        quantize="int4", scoring_buckets=128, probe_tile=4,
+        num_reordering_candidates=60,
+    )
+    got = ann_lib.ShardedScaNN(
+        approximate.ScaNN(**params)
+    ).index(corpus)(queries)
+    exact = np.asarray(queries @ corpus.T)
+    picked = np.take_along_axis(exact, np.asarray(got[1]), axis=1)
+    np.testing.assert_allclose(np.asarray(got[0]), picked, rtol=1e-5)
+    bf = factorized_top_k.BruteForce(k=20).index(corpus)
+    _, want = bf(queries)
+    overlap = np.mean([
+        len(set(np.asarray(got[1])[r]) & set(np.asarray(want)[r])) / 20
+        for r in range(16)
+    ])
+    assert overlap > 0.8, overlap
+
+
+def test_sharded_scann_streamed_with_reorder():
+    """The streamed sharded build supports reorder (the single-device
+    streamed build cannot — the corpus wouldn't fit one device): the
+    reorder corpus row-shards during the scatter pass."""
+    queries, corpus = _clustered(4096, 128, 16, seed=17)
+    params = _scann_params(
+        quantize="int4", num_reordering_candidates=60,
+        kmeans_sample_size=4096,
+    )
+    sharded = ann_lib.ShardedScaNN(
+        approximate.ScaNN(**params)
+    ).index_streamed(_batches(corpus, 768), 4096)
+    _assert_sharded_over(sharded._corpus, sharded._mesh, sharded._axis)
+    scores, rows = sharded(queries)
+    exact = np.asarray(queries @ corpus.T)
+    picked = np.take_along_axis(exact, np.asarray(rows), axis=1)
+    np.testing.assert_allclose(np.asarray(scores), picked, rtol=1e-5)
+    bf = factorized_top_k.BruteForce(k=20).index(corpus)
+    _, want = bf(queries)
+    overlap = np.mean([
+        len(set(np.asarray(rows)[r]) & set(np.asarray(want)[r])) / 20
+        for r in range(16)
+    ])
+    assert overlap > 0.85, overlap
