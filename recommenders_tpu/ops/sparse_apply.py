@@ -292,6 +292,7 @@ def sorted_block_apply(
     stochastic_round_seed: Optional[Array] = None,
     exact_routing: bool = True,
     need_count: bool = True,
+    grad_dim: Optional[int] = None,
     interpret: bool = False,
     _alias: bool = True,
 ) -> Tuple[Array, ...]:
@@ -341,20 +342,27 @@ def sorted_block_apply(
     Returns:
       Updated state arrays.
     """
-    v, d = states[0].shape
+    v = states[0].shape[0]
+    d = grad_dim if grad_dim is not None else states[0].shape[1]
     n = sorted_ids.shape[0]
     # Slot planes may be NARROWER than the table (e.g. rowwise
-    # Adagrad's [V, 1] scalar accumulator — 1/d the slot HBM traffic);
-    # every state still covers the same V rows. Only full-width and
-    # [V, 1] planes are exercised by the kernel rules; reject other
-    # widths rather than hand an untested shape to `block_update`
-    # (ValueError, not assert: user-facing and `-O`-proof).
-    for st in states:
-        if st.shape[0] != v or st.shape[1] not in (1, d):
+    # Adagrad's [V, 1] scalar accumulator — 1/d the slot HBM traffic),
+    # and the FIRST state may be WIDER than the gradient (`grad_dim`):
+    # a PACKED state array carrying table and slot planes in one lane
+    # group, so one block streams per direction instead of one per
+    # state (the per-grid-step pipeline cost is per buffer). Every
+    # state still covers the same V rows. Only these widths are
+    # exercised by the kernel rules; reject others rather than hand an
+    # untested shape to `block_update` (ValueError, not assert:
+    # user-facing and `-O`-proof).
+    for i, st in enumerate(states):
+        w_ok = (1, d, states[0].shape[1]) if i == 0 else (1, d)
+        if st.shape[0] != v or st.shape[1] not in w_ok:
             raise ValueError(
                 f"State plane shape {st.shape} is not supported: every "
                 f"plane must cover the table's {v} rows with width "
-                f"{d} (full) or 1 (rowwise)."
+                f"{d} (full), 1 (rowwise), or — for the first state — "
+                f"a packed width."
             )
     use_sr = stochastic_round_seed is not None and any(
         st.dtype == jnp.bfloat16 for st in states
