@@ -98,6 +98,24 @@ def main():
         np.asarray(jax.tree_util.tree_leaves(out)[-1][-1])
         return time.perf_counter() - t0, carry
 
+    # HBM roofline for the whole step. The update is a blocked sweep:
+    # with 4096 uniform ids per 26 tables every block of every table is
+    # touched, so the floor is the full table+slot state read+written
+    # once (the same model as bench.py's), plus forward gathers and the
+    # grad rows' round-trip. v5e: ~819 GB/s.
+    total_rows = sum(
+        (v + 127) // 128 * 128 for v in vocabs
+    )
+    sweep = 2 * total_rows * args.dim * (2 + 4)      # bf16 + f32 slot
+    gathers = args.tables * BATCH * args.dim * 2
+    grads = 2 * args.tables * BATCH * args.dim * 4
+    floor_us = (sweep + gathers + grads) / 819e9 * 1e6
+    print(
+        f"state: {total_rows} stacked rows, HBM step floor "
+        f"{floor_us:.0f} us ({(sweep + gathers + grads) / 1e6:.0f} MB)",
+        file=sys.stderr,
+    )
+
     for stacked in (False, True):
         engine = engine_lib.EmbeddingEngine(
             fcs,
@@ -123,7 +141,8 @@ def main():
         label = "stacked" if stacked else "per-table"
         print(
             f"{label:10s} {per * 1e6:8.1f} us/step "
-            f"({BATCH / per / 1e6:6.2f} Mex/s, {args.tables} tables)"
+            f"({BATCH / per / 1e6:6.2f} Mex/s, {args.tables} tables, "
+            f"{per * 1e6 / floor_us:.1f}x HBM floor)"
         )
 
 

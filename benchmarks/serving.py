@@ -55,7 +55,7 @@ def native_main(args):
     corpus = rng.normal(size=(args.corpus, args.dim)).astype(np.float32)
     queries = rng.normal(size=(args.queries, args.dim)).astype(np.float32)
 
-    if args.native_index == "bucketed":
+    if args.native_index in ("bucketed", "scann"):
         # The Pallas production kernel. Mosaic kernels must be exported
         # from a TPU-attached process (cross-lowering from CPU bakes
         # wrong vector-layout assumptions and aborts the server-side
@@ -63,7 +63,7 @@ def native_main(args):
         # TPU subprocess that exits to release the single-claimant chip
         # before the C++ host claims it — the same two-phase pattern as
         # tests/test_tpu_hardware.py.
-        return _native_bucketed(args, ns, rng, corpus, queries)
+        return _native_exported(args, ns, rng, corpus, queries)
     index = factorized_top_k.BruteForce(k=args.k).index(
         jnp.asarray(corpus)
     )
@@ -75,7 +75,7 @@ def native_main(args):
     # (`--rotate`) + back-to-back dispatch with a single final fence
     # (`--pipeline`) give the cache-proof device-throughput number, the
     # same methodology as the in-process `_time_queries`.
-    rot = max(2, args.rotate)
+    rot = max(2, args.rotate or args.iters)
     variants = rng.normal(
         size=(rot, args.queries, args.dim)
     ).astype(np.float32)
@@ -145,8 +145,8 @@ def native_main(args):
     print()
 
 
-def _native_bucketed(args, ns, rng, corpus, queries):
-    """Native-host serving of the Bucketed Pallas index (two-phase).
+def _native_exported(args, ns, rng, corpus, queries):
+    """Native-host serving of a Pallas-kernel index (two-phase).
 
     Phase A (TPU subprocess): build the index on the chip, export it
     natively (Mosaic kernels don't survive CPU cross-lowering), answer
@@ -158,7 +158,7 @@ def _native_bucketed(args, ns, rng, corpus, queries):
     import tempfile
     import textwrap
 
-    rot = max(2, args.rotate)
+    rot = max(2, args.rotate or args.iters)
     variants = rng.normal(
         size=(rot, args.queries, args.dim)
     ).astype(np.float32)
@@ -184,7 +184,19 @@ def _native_bucketed(args, ns, rng, corpus, queries):
             corpus = jnp.asarray(np.load(work + "/corpus.npy"))
             queries = np.load(work + "/queries.npy")
             variants = np.load(work + "/variants.npy")
-            index = ftk.Bucketed(k={args.k}).index(corpus)
+            if {args.native_index!r} == "scann":
+                from recommenders_tpu.layers import approximate
+                import numpy as _np
+                leaves = max(64, 1 << int(_np.log2(_np.sqrt(corpus.shape[0]) * 2)))
+                index = approximate.ScaNN(
+                    k={args.k}, num_leaves=leaves,
+                    num_leaves_to_search=leaves // 4, quantize="int8",
+                    scoring_buckets=4096, probe_tile=64,
+                    query_batch=queries.shape[0],
+                    kmeans_sample_size=1 << 21, training_iterations=8,
+                ).index(corpus)
+            else:
+                index = ftk.Bucketed(k={args.k}).index(corpus)
             ex.export_index(work + "/idx", index, jnp.asarray(queries),
                             k={args.k})
             es, ei = index(jnp.asarray(queries))
@@ -240,7 +252,9 @@ def _native_bucketed(args, ns, rng, corpus, queries):
         rtol=2e-2, atol=1e-2,
     )
     out = {
-        "config": f"native_bucketed_{args.corpus}x{args.dim}",
+        "config": (
+            f"native_{args.native_index}_{args.corpus}x{args.dim}"
+        ),
         "native_qps": round(qps) if qps else None,
         "per_iter_ms": per_iter_ms,
         "rotate": rot,
@@ -261,16 +275,21 @@ def main():
     parser.add_argument("--k", type=int, default=100)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument(
-        "--rotate", type=int, default=8,
+        "--rotate", type=int, default=None,
         help="(--native) distinct query batches round-robined across "
-        "--repeat iterations; defeats the tunnel's result cache.",
+        "--repeat iterations; defeats the tunnel's result cache. "
+        "Defaults to max(2, --iters) so NO batch repeats within a "
+        "run — rotate < iters would let trailing iterations replay "
+        "cached (program, input) pairs and flatter the number.",
     )
     parser.add_argument(
         "--native-index", default="bruteforce",
-        choices=("bruteforce", "bucketed"),
+        choices=("bruteforce", "bucketed", "scann"),
         help="(--native) index family to export: bruteforce (exact "
-        "lax.top_k) or bucketed (the Pallas production kernel, "
-        "cross-lowered for TPU).",
+        "lax.top_k), bucketed (the Pallas production kernel), or "
+        "scann (probe -> bucketed leaf fold, int8 anisotropic — the "
+        "reference serializes its whole C++ searcher into the "
+        "SavedModel the same way, factorized_top_k.py:728-730).",
     )
     parser.add_argument(
         "--native",

@@ -182,6 +182,7 @@ class EmbeddingEngine:
         # stacked and unstacked initializations identical per table.
         self._storage: Dict[str, Tuple[str, int]] = {}
         self._storage_members: Dict[str, list] = {}
+        self._stack_pad: Dict[str, int] = {}
         if stack_tables:
             groups: Dict = {}
             for name, tc in self._tables.items():
@@ -202,6 +203,17 @@ class EmbeddingEngine:
                     self._storage[name] = (sname, off)
                     off += self._padded_rows(self._tables[name])
                 self._storage_members[sname] = list(members)
+                # Pad the group to a 2048-row multiple: the blocked
+                # update kernel needs a power-of-two block size that
+                # DIVIDES the storage rows, and an unpadded many-table
+                # group (row multiple 128) can force block_rows down to
+                # 128 — at 26 Criteo-style tables that is ~35k grid
+                # steps of ~0.7 us pipeline overhead each, the whole
+                # reason stacking measured SLOWER than per-table in
+                # round 3 (docs/PARITY.md). Tail rows are unaddressable
+                # (ids map inside member tables) and never stream: the
+                # kernel's pair list only includes touched blocks.
+                self._stack_pad[sname] = -off % 2048
         else:
             for name in self._tables:
                 self._storage[name] = (name, 0)
@@ -314,8 +326,12 @@ class EmbeddingEngine:
         tables: Dict[str, Array] = {}
         slots: Dict[str, Dict[str, Array]] = {}
         for sname, members in self._storage_members.items():
-            def make_storage(members=members):
+            def make_storage(members=members, sname=sname):
                 parts = [makes[m]() for m in members]
+                pad = self._stack_pad.get(sname, 0)
+                if pad:
+                    dim = self._tables[members[0]].dim
+                    parts.append(jnp.zeros((pad, dim), self.dtype))
                 return parts[0] if len(parts) == 1 else jnp.concatenate(
                     parts, axis=0
                 )

@@ -37,6 +37,7 @@ def test_head_to_head_parity(tmp_path):
             "--interactions", "30000",
             "--epochs", "2",
             "--batch", "4096",
+            "--seeds", "2",
             "--tolerance", "0.08",
             "--rmse-tolerance", "0.15",
             "--out", out,
@@ -53,6 +54,8 @@ def test_head_to_head_parity(tmp_path):
     table = open(out).read()
     assert "| retrieval top-100 |" in table
     assert "NO" not in table
+    # Multi-seed run: the table must carry across-seed error bars.
+    assert "±" in table
     # Keep the measured table inspectable next to the test run.
     if os.environ.get("RTPU_KEEP_PARITY_TABLE"):
         shutil.copy(out, os.path.join(REPO, "docs", "PARITY_HEAD_TO_HEAD.md"))

@@ -319,6 +319,15 @@ def run_ours_ranking(train, test, args):
     return {"rmse": results["rmse"]}
 
 
+def _seed_stats(runs, key):
+    vals = np.asarray([r[key] for r in runs], np.float64)
+    return float(vals.mean()), float(vals.std())
+
+
+def _fmt(mean, std, seeds):
+    return f"{mean:.4f} ± {std:.4f}" if seeds > 1 else f"{mean:.4f}"
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--users", type=int, default=943)
@@ -329,6 +338,14 @@ def main():
     p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--lr", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--seeds", type=int, default=1,
+        help="model seeds per framework (same shared data split); with "
+        "> 1 the table reports mean ± std and the tolerance applies to "
+        "the MEANS — the reference's own uet.ipynb study publishes "
+        "across-seed error bars, and a single-seed comparison cannot "
+        "separate framework effects from init noise",
+    )
     p.add_argument("--tolerance", type=float, default=0.05)
     p.add_argument("--rmse-tolerance", type=float, default=0.1)
     p.add_argument("--out", type=str, default=None)
@@ -340,63 +357,86 @@ def main():
         f"{train.num_users} users x {train.num_movies} movies"
     )
 
-    print("training reference TFRS retrieval (TF/CPU)...")
-    ref_r = run_reference_retrieval(train, test, args)
-    print("  ", ref_r)
-    print("training recommenders_tpu retrieval (JAX/CPU)...")
-    ours_r = run_ours_retrieval(train, test, args)
-    print("  ", ours_r)
-    # bench.py's default numerics: bf16 scoring matmuls (f32 accum) must
-    # reach the same quality as the f32 path and the reference.
-    print("training recommenders_tpu retrieval (bf16 scores)...")
-    ours_rb = run_ours_retrieval(train, test, args, "bfloat16")
-    print("  ", ours_rb)
+    import copy
 
-    print("training reference TFRS ranking (TF/CPU)...")
-    ref_k = run_reference_ranking(train, test, args)
-    print("  ", ref_k)
-    print("training recommenders_tpu ranking (JAX/CPU)...")
-    ours_k = run_ours_ranking(train, test, args)
-    print("  ", ours_k)
+    base_seed = args.seed
+    runs = {"ref_r": [], "ours_r": [], "ours_rb": [], "ref_k": [],
+            "ours_k": []}
+    for s in range(args.seeds):
+        a = copy.copy(args)
+        a.seed = base_seed + 1000 * s
+        print(f"--- seed {a.seed} ---")
+        print("training reference TFRS retrieval (TF/CPU)...")
+        runs["ref_r"].append(run_reference_retrieval(train, test, a))
+        print("  ", runs["ref_r"][-1])
+        print("training recommenders_tpu retrieval (JAX/CPU)...")
+        runs["ours_r"].append(run_ours_retrieval(train, test, a))
+        print("  ", runs["ours_r"][-1])
+        # bench.py's default numerics: bf16 scoring matmuls (f32 accum)
+        # must reach the same quality as the f32 path / the reference.
+        print("training recommenders_tpu retrieval (bf16 scores)...")
+        runs["ours_rb"].append(
+            run_ours_retrieval(train, test, a, "bfloat16")
+        )
+        print("  ", runs["ours_rb"][-1])
+        print("training reference TFRS ranking (TF/CPU)...")
+        runs["ref_k"].append(run_reference_ranking(train, test, a))
+        print("  ", runs["ref_k"][-1])
+        print("training recommenders_tpu ranking (JAX/CPU)...")
+        runs["ours_k"].append(run_ours_ranking(train, test, a))
+        print("  ", runs["ours_k"][-1])
 
     rows = [
-        ("retrieval top-10", ref_r["top_10"], ours_r["top_10"],
+        ("retrieval top-10", "ref_r", "ours_r", "top_10",
          args.tolerance),
-        ("retrieval top-50", ref_r["top_50"], ours_r["top_50"],
+        ("retrieval top-50", "ref_r", "ours_r", "top_50",
          args.tolerance),
-        ("retrieval top-100", ref_r["top_100"], ours_r["top_100"],
+        ("retrieval top-100", "ref_r", "ours_r", "top_100",
          args.tolerance),
-        ("retrieval top-100 (bf16 scores)", ref_r["top_100"],
-         ours_rb["top_100"], args.tolerance),
-        ("ranking RMSE", ref_k["rmse"], ours_k["rmse"],
+        ("retrieval top-100 (bf16 scores)", "ref_r", "ours_rb",
+         "top_100", args.tolerance),
+        ("ranking RMSE", "ref_k", "ours_k", "rmse",
          args.rmse_tolerance),
     ]
     lines = [
-        "| metric | reference TFRS | recommenders_tpu | abs diff | ok |",
+        "| metric | reference TFRS | recommenders_tpu | mean diff | ok |",
         "|---|---|---|---|---|",
     ]
     ok = True
-    for name, ref, ours, tol in rows:
-        diff = abs(ref - ours)
+    for name, ref_key, ours_key, key, tol in rows:
+        rm, rs = _seed_stats(runs[ref_key], key)
+        om, os_ = _seed_stats(runs[ours_key], key)
+        diff = abs(rm - om)
         good = diff <= tol
         ok = ok and good
         lines.append(
-            f"| {name} | {ref:.4f} | {ours:.4f} | {diff:.4f} | "
+            f"| {name} | {_fmt(rm, rs, args.seeds)} | "
+            f"{_fmt(om, os_, args.seeds)} | {diff:.4f} | "
             f"{'yes' if good else 'NO'} |"
         )
     table = "\n".join(lines)
     print()
     print(table)
     if args.out:
+        ref_t = runs["ref_r"][-1]["train_seconds"]
+        ours_t = runs["ours_r"][-1]["train_seconds"]
         with open(args.out, "w") as f:
             f.write(
                 "# Head-to-head quality parity (same data, same "
                 "capacity, same optimizer)\n\n"
                 f"Command: `python tools/reference_parity.py "
                 f"--interactions {args.interactions} --epochs "
-                f"{args.epochs}`\n\n" + table + "\n\n"
-                f"Reference train time: {ref_r['train_seconds']:.1f}s, "
-                f"ours: {ours_r['train_seconds']:.1f}s "
+                f"{args.epochs} --seeds {args.seeds} --tolerance "
+                f"{args.tolerance}`"
+                + (
+                    f" — {args.seeds} model seeds per framework on the "
+                    "shared data split; mean ± std; tolerance applies "
+                    "to the means\n\n"
+                    if args.seeds > 1 else "\n\n"
+                )
+                + table + "\n\n"
+                f"Reference train time: {ref_t:.1f}s, "
+                f"ours: {ours_t:.1f}s "
                 "(both single-process CPU)\n"
             )
         print(f"\nwrote {args.out}")

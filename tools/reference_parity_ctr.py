@@ -107,7 +107,7 @@ def _tf_setup(args):
     import tensorflow as tf
 
     sys.path.insert(0, "/root/reference")
-    tf.random.set_seed(args.seed)
+    tf.random.set_seed(getattr(args, 'model_seed', args.seed))
     return tf
 
 
@@ -322,9 +322,13 @@ def run_ours_dlrm(train, test, args):
         }
 
     batches = data_lib.batched(
-        to_batch(train), args.batch, shuffle=True, seed=args.seed
+        to_batch(train), args.batch, shuffle=True,
+        seed=getattr(args, 'model_seed', args.seed)
     )
-    state = trainer.init(jax.random.PRNGKey(args.seed), next(batches()))
+    state = trainer.init(
+        jax.random.PRNGKey(getattr(args, 'model_seed', args.seed)),
+        next(batches()),
+    )
     state, _ = trainer.fit(state, batches, epochs=args.epochs,
                            verbose=False)
     results = trainer.evaluate(
@@ -421,10 +425,12 @@ def run_ours_uet(train, test, args):
         model = Base(kind=kind)
         trainer = models_lib.Trainer(model, optax.adam(args.uet_lr))
         batches = data_lib.batched(
-            to_batch(train), args.batch, shuffle=True, seed=args.seed
+            to_batch(train), args.batch, shuffle=True,
+        seed=getattr(args, 'model_seed', args.seed)
         )
         state = trainer.init(
-            jax.random.PRNGKey(args.seed), next(batches())
+            jax.random.PRNGKey(getattr(args, 'model_seed', args.seed)),
+            next(batches()),
         )
         state, _ = trainer.fit(
             state, batches, epochs=args.epochs, verbose=False
@@ -458,6 +464,13 @@ def main():
         help="Required AUC gap between the (collisionless, unified) "
         "pair and the hash-trick baseline, in each framework.",
     )
+    p.add_argument(
+        "--seeds", type=int, default=1,
+        help="model seeds per framework (same shared data); with > 1 "
+        "the table reports mean ± std and tolerances/margins apply to "
+        "the MEANS (the reference's uet.ipynb study publishes "
+        "across-seed error bars)",
+    )
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--append", action="store_true")
     args = p.parse_args()
@@ -465,34 +478,56 @@ def main():
     dlrm_train, dlrm_test = make_ctr(args)
     uet_train, uet_test = make_uet(args)
 
-    print("training reference prebuilt DLRM (TF/CPU)...")
-    ref_dlrm = run_reference_dlrm(dlrm_train, dlrm_test, args)
-    print("  ", ref_dlrm)
-    print("training recommenders_tpu prebuilt DLRM (JAX/CPU)...")
-    ours_dlrm = run_ours_dlrm(dlrm_train, dlrm_test, args)
-    print("  ", ours_dlrm)
+    runs = {"ref_dlrm": [], "ours_dlrm": [], "ref_uet": [],
+            "ours_uet": []}
+    for s in range(args.seeds):
+        args.model_seed = args.seed + 1000 * s
+        print(f"--- model seed {args.model_seed} ---")
+        print("training reference prebuilt DLRM (TF/CPU)...")
+        runs["ref_dlrm"].append(
+            run_reference_dlrm(dlrm_train, dlrm_test, args)
+        )
+        print("  ", runs["ref_dlrm"][-1])
+        print("training recommenders_tpu prebuilt DLRM (JAX/CPU)...")
+        runs["ours_dlrm"].append(
+            run_ours_dlrm(dlrm_train, dlrm_test, args)
+        )
+        print("  ", runs["ours_dlrm"][-1])
+        print("reference unified-embedding three-way study (TF/CPU)...")
+        runs["ref_uet"].append(
+            run_reference_uet(uet_train, uet_test, args)
+        )
+        print("  ", runs["ref_uet"][-1])
+        print("recommenders_tpu unified-embedding three-way study...")
+        runs["ours_uet"].append(
+            run_ours_uet(uet_train, uet_test, args)
+        )
+        print("  ", runs["ours_uet"][-1])
 
-    print("reference unified-embedding three-way study (TF/CPU)...")
-    ref_uet = run_reference_uet(uet_train, uet_test, args)
-    print("  ", ref_uet)
-    print("recommenders_tpu unified-embedding three-way study...")
-    ours_uet = run_ours_uet(uet_train, uet_test, args)
-    print("  ", ours_uet)
+    def stats(key, metric):
+        vals = np.asarray([r[metric] for r in runs[key]], np.float64)
+        return float(vals.mean()), float(vals.std())
+
+    def fmt(mean, std):
+        return (
+            f"{mean:.4f} ± {std:.4f}" if args.seeds > 1 else f"{mean:.4f}"
+        )
 
     ok = True
     lines = [
         "## Prebuilt DLRM classification (shared synthetic CTR data)",
         "",
-        "| metric | reference TFRS | recommenders_tpu | abs diff | ok |",
+        "| metric | reference TFRS | recommenders_tpu | mean diff | ok |",
         "|---|---|---|---|---|",
     ]
-    diff = abs(ref_dlrm["auc"] - ours_dlrm["auc"])
+    rm, rs = stats("ref_dlrm", "auc")
+    om, os_ = stats("ours_dlrm", "auc")
+    diff = abs(rm - om)
     good = diff <= args.tolerance
     ok = ok and good
     lines.append(
-        f"| DLRM test AUC | {ref_dlrm['auc']:.4f} | "
-        f"{ours_dlrm['auc']:.4f} | {diff:.4f} | "
-        f"{'yes' if good else 'NO'} |"
+        f"| DLRM test AUC | {fmt(rm, rs)} | {fmt(om, os_)} | "
+        f"{diff:.4f} | {'yes' if good else 'NO'} |"
     )
     lines += [
         "",
@@ -506,22 +541,30 @@ def main():
         "| variant | reference TFRS AUC | recommenders_tpu AUC |",
         "|---|---|---|",
     ]
+    uet_stats = {
+        (fw, name): stats(f"{fw}_uet", name)
+        for fw in ("ref", "ours")
+        for name in ("collisionless", "unified", "hash")
+    }
     for name in ("collisionless", "unified", "hash"):
         lines.append(
-            f"| {name} | {ref_uet[name]:.4f} | {ours_uet[name]:.4f} |"
+            f"| {name} | {fmt(*uet_stats[('ref', name)])} | "
+            f"{fmt(*uet_stats[('ours', name)])} |"
         )
-    for fw, res in (("reference", ref_uet), ("ours", ours_uet)):
+    for fw, label in (("ref", "reference"), ("ours", "ours")):
         for better in ("collisionless", "unified"):
-            gap = res[better] - res["hash"]
+            gap = uet_stats[(fw, better)][0] - uet_stats[(fw, "hash")][0]
             good = gap >= args.uet_margin
             ok = ok and good
             lines.append(
-                f"| {fw}: {better} - hash | {gap:+.4f} | "
+                f"| {label}: {better} - hash | {gap:+.4f} | "
                 f"{'yes' if good else 'NO'} |"
             )
     # The pair itself must agree across frameworks too.
     for name in ("collisionless", "unified", "hash"):
-        diff = abs(ref_uet[name] - ours_uet[name])
+        diff = abs(
+            uet_stats[("ref", name)][0] - uet_stats[("ours", name)][0]
+        )
         good = diff <= args.tolerance
         ok = ok and good
         lines.append(
@@ -538,7 +581,13 @@ def main():
             f.write(
                 ("\n" if args.append else "")
                 + f"Command: `python tools/reference_parity_ctr.py "
-                f"--examples {args.examples} --epochs {args.epochs}`\n\n"
+                f"--examples {args.examples} --epochs {args.epochs} "
+                f"--seeds {args.seeds} --tolerance {args.tolerance}`"
+                + (
+                    f" — {args.seeds} model seeds per framework on "
+                    "shared data; mean ± std; tolerances on the means"
+                    "\n\n" if args.seeds > 1 else "\n\n"
+                )
                 + table + "\n"
             )
         print(f"\nwrote {args.out}")
