@@ -103,40 +103,22 @@ def main():
     jax.block_until_ready(index._leaf_embs)
     print(f"build in {time.time() - t0:.0f}s", file=sys.stderr)
 
-    # Invert leaf_rows -> row's assigned leaf, for the truth rows only
-    # (a full [N] map costs 0.4 GB; truth rows are Q*k = 25.6k).
-    leaf_rows = index._leaf_rows                     # [L, cap]
-    truth_d = jnp.asarray(truth.reshape(-1))         # [Q*k]
-
-    @jax.jit
-    def assigned_leaf_of(rows):
-        # Where does each truth row live? leaf_rows holds global row per
-        # slot; probe by scanning leaves in chunks and matching.
-        out = jnp.full(rows.shape, -1, jnp.int32)
-
-        def body(l0, out):
-            block = jax.lax.dynamic_slice(
-                leaf_rows, (l0 * 256, 0), (256, leaf_rows.shape[1])
-            )                                        # [256, cap]
-            flat = block.reshape(-1)
-            hit = jnp.isin(rows, flat)
-            # For rows in this block, find their leaf: match each row
-            # against block rows via searchsorted on the sorted flat
-            # copy (values unique).
-            order = jnp.argsort(flat)
-            sf = flat[order]
-            pos = jnp.searchsorted(sf, rows)
-            pos = jnp.clip(pos, 0, sf.shape[0] - 1)
-            found = sf[pos] == rows
-            slot = order[pos] // leaf_rows.shape[1] + l0 * 256
-            return jnp.where(found & hit, slot.astype(jnp.int32), out)
-
-        return jax.lax.fori_loop(
-            0, args.leaves // 256, body, out
-        )
-
+    # Invert leaf_rows -> row's assigned leaf for the truth rows, on
+    # HOST: one [L, cap] fetch (~0.4 GB over the link) + numpy
+    # searchsorted — the on-device formulation spent minutes per leaf
+    # chunk.
     t0 = time.time()
-    assigned = np.asarray(assigned_leaf_of(truth_d)).reshape(qn, k)
+    lr_h = np.asarray(index._leaf_rows)              # [L, cap]
+    flat = lr_h.reshape(-1)
+    order = np.argsort(flat, kind="stable")
+    sf = flat[order]
+    needles = truth.reshape(-1)
+    pos = np.clip(np.searchsorted(sf, needles), 0, sf.size - 1)
+    found = sf[pos] == needles
+    assigned = np.where(
+        found, (order[pos] // lr_h.shape[1]).astype(np.int32), -1
+    ).reshape(qn, k)
+    del lr_h, flat, order, sf
     print(f"assigned-leaf inversion in {time.time() - t0:.0f}s "
           f"(unplaced={np.mean(assigned < 0):.4f})", file=sys.stderr)
 

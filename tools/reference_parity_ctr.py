@@ -301,6 +301,10 @@ def run_ours_dlrm(train, test, args):
     from recommenders_tpu.embedding import config as config_lib
     from recommenders_tpu.models import ranking as ranking_model
 
+    import flax.linen as nn
+
+    from recommenders_tpu.layers import blocks
+
     feature_configs = tuple(
         config_lib.FeatureConfig(
             table=config_lib.TableConfig(v, DLRM_DIM, name=f"t_{name}"),
@@ -308,10 +312,24 @@ def run_ours_dlrm(train, test, args):
         )
         for name, v in DLRM_VOCABS.items()
     )
+    # Match the reference's framework defaults so the comparison
+    # isolates framework behavior: Keras Dense initializes
+    # glorot_uniform (flax: lecun_normal) and legacy-Keras Adam uses
+    # epsilon 1e-7 (optax: 1e-8) — same discipline as
+    # reference_parity.py's matched embedding init.
+    glorot = nn.initializers.glorot_uniform()
     model = ranking_model.Ranking(
-        feature_configs=feature_configs, size_threshold=500
+        feature_configs=feature_configs, size_threshold=500,
+        bottom_stack=lambda: blocks.MLP(
+            units=(256, 64, 16), final_activation="relu",
+            kernel_init=glorot,
+        ),
+        top_stack=lambda: blocks.MLP(
+            units=(512, 256, 1), final_activation="sigmoid",
+            kernel_init=glorot,
+        ),
     )
-    trainer = models_lib.Trainer(model, optax.adam(args.lr))
+    trainer = models_lib.Trainer(model, optax.adam(args.lr, eps=1e-7))
 
     def to_batch(split):
         feats, label = split
