@@ -204,6 +204,18 @@ def main():
         "more overflow spilling.",
     )
     p.add_argument("--spill-rounds", type=int, default=4)
+    p.add_argument(
+        "--scoring-buckets", type=int, default=4096,
+        help="(--streaming-index scann) in-kernel argmax fold width; "
+        "collision recall loss ~ k^2/2B, so B=8192 halves it vs 4096 "
+        "at k=100 (clamped to leaf capacity; multiple of 128).",
+    )
+    p.add_argument(
+        "--train-iters", type=int, default=8,
+        help="k-means Lloyd iterations for the streamed partitioned "
+        "build; under-converged centroids skew leaf masses and drive "
+        "capacity spill.",
+    )
     p.add_argument("--build-batch", type=int, default=2_000_000)
     p.add_argument(
         "--only", default=None,
@@ -485,15 +497,18 @@ def run_streaming(args, sample, sample_t):
             k=k, num_leaves=leaves,
             num_leaves_to_search=args.probes,
             quantize=quant, leaf_capacity=cap,
-            scoring_buckets=4096, probe_tile=args.probe_tile,
+            scoring_buckets=args.scoring_buckets,
+            probe_tile=args.probe_tile,
             query_batch=qn, kmeans_sample_size=1 << 21,
-            training_iterations=8, spill_rounds=args.spill_rounds,
+            training_iterations=args.train_iters,
+            spill_rounds=args.spill_rounds,
         )
         index.index_streamed(gen_batches, num_rows=n)
         jax.block_until_ready(index._leaf_embs)
         build_s = time.time() - t0
         name = (
-            f"scann_L{leaves}_P{args.probes}_{quant}_B4096"
+            f"scann_L{leaves}_P{args.probes}_{quant}"
+            f"_B{args.scoring_buckets}"
             f"_T{args.probe_tile}_cap{args.capacity_factor}_streamed"
         )
         index_bytes = (
