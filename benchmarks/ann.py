@@ -211,6 +211,13 @@ def main():
         "at k=100 (clamped to leaf capacity; multiple of 128).",
     )
     p.add_argument(
+        "--balance", type=float, default=0.0,
+        help="(--streaming-index scann) kmeans_balance_fraction: "
+        "split-reseed this fraction of the lightest leaves next to "
+        "the heaviest each Lloyd iteration (spill control at tight "
+        "capacity).",
+    )
+    p.add_argument(
         "--train-iters", type=int, default=8,
         help="k-means Lloyd iterations for the streamed partitioned "
         "build; under-converged centroids skew leaf masses and drive "
@@ -500,6 +507,7 @@ def run_streaming(args, sample, sample_t):
             scoring_buckets=args.scoring_buckets,
             probe_tile=args.probe_tile,
             query_batch=qn, kmeans_sample_size=1 << 21,
+            kmeans_balance_fraction=args.balance,
             training_iterations=args.train_iters,
             spill_rounds=args.spill_rounds,
         )

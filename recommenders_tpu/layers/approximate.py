@@ -267,13 +267,22 @@ def _assign_device(corpus: Array, centroids: Array, chunk: int) -> Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_clusters", "chunk")
+    jax.jit, static_argnames=("num_clusters", "chunk", "balance")
 )
 def _kmeans_step_device(
     corpus: Array, centroids: Array, reseed: Array, num_clusters: int,
-    chunk: int,
+    chunk: int, balance: int = 0,
 ) -> Array:
-    """One Lloyd iteration fully on device (assign + segment-sum)."""
+    """One Lloyd iteration fully on device (assign + segment-sum).
+
+    With `balance > 0`, that many of the LIGHTEST clusters re-seed as
+    near-copies of the heaviest ones (split-reseed balancing): the next
+    iterations separate each pair along the heavy cluster's principal
+    mass, equalizing leaf loads. Bounded-capacity leaf packing turns
+    load skew directly into SPILL — rows pushed to leaves the prober
+    never visits — so at tight capacity factors (the 100M-on-16GB
+    regime) balance buys probed recall.
+    """
     assignments = _assign_device(corpus, centroids, chunk)
     sums = jax.ops.segment_sum(
         corpus, assignments, num_segments=num_clusters
@@ -286,7 +295,17 @@ def _kmeans_step_device(
     empty = counts == 0
     new = sums / jnp.maximum(counts, 1.0)[:, None]
     # Empty clusters re-seed from (pre-selected) random corpus rows.
-    return jnp.where(empty[:, None], reseed, new)
+    new = jnp.where(empty[:, None], reseed, new)
+    if balance:
+        order = jnp.argsort(counts)
+        light = order[:balance]
+        heavy = order[-balance:]
+        # Split: the light centroid moves next to the heavy one, offset
+        # a little toward a random corpus row so Lloyd can pull the
+        # pair apart; the heavy cluster's mass then splits between them.
+        split = new[heavy] + 0.05 * (reseed[:balance] - new[heavy])
+        new = new.at[light].set(split)
+    return new
 
 
 def kmeans_device(
@@ -296,6 +315,7 @@ def kmeans_device(
     seed: int = 0,
     chunk: int = 16384,
     sample: Optional[int] = None,
+    balance_fraction: float = 0.0,
 ) -> Array:
     """Lloyd's k-means with the corpus resident on device throughout.
 
@@ -306,7 +326,12 @@ def kmeans_device(
     `sample` caps the training-set size (random row subset) the Lloyd
     iterations run on — ScaNN likewise trains its partitioner on a
     sample; centroid quality saturates far below full-corpus size while
-    assignment cost is linear in it."""
+    assignment cost is linear in it.
+
+    `balance_fraction` > 0 enables split-reseed load balancing: each
+    iteration except the last two re-seeds that fraction of the
+    lightest clusters next to the heaviest (see `_kmeans_step_device`);
+    the final plain iterations let the split pairs settle."""
     rng = np.random.RandomState(seed)
     n = corpus.shape[0]
     train = corpus
@@ -316,12 +341,14 @@ def kmeans_device(
     centroids = train[
         jnp.asarray(rng.choice(n, size=num_clusters, replace=False))
     ]
-    for _ in range(iterations):
+    nb = int(balance_fraction * num_clusters)
+    for it in range(iterations):
         reseed = train[
             jnp.asarray(rng.randint(0, n, size=num_clusters))
         ]
         centroids = _kmeans_step_device(
-            train, centroids, reseed, num_clusters, chunk
+            train, centroids, reseed, num_clusters, chunk,
+            balance=nb if it < iterations - 2 else 0,
         )
     return centroids
 
@@ -784,6 +811,14 @@ class ScaNN(factorized_top_k.TopK):
       kmeans_sample_size: If set, Lloyd iterations train on this many
         randomly sampled rows instead of the full corpus (device build
         only; ScaNN likewise trains its partitioner on a sample).
+      kmeans_balance_fraction: If > 0, split-reseed load balancing
+        during the Lloyd iterations (`kmeans_device`): each iteration
+        re-seeds this fraction of the lightest clusters next to the
+        heaviest. At tight leaf-capacity factors load skew becomes
+        capacity SPILL — rows packed into leaves the prober never
+        visits — so balancing trades a little quantization optimality
+        for probed recall (the 100M-on-one-chip regime; see
+        docs/PARITY.md).
       assign_chunk: Corpus rows per assignment block in the device
         build; bounds the `[chunk, num_leaves]` affinity transient.
       spill_rounds: Overflow rows may spill to at most this many
@@ -809,6 +844,7 @@ class ScaNN(factorized_top_k.TopK):
         query_batch: int = 256,
         seed: int = 0,
         kmeans_sample_size: Optional[int] = None,
+        kmeans_balance_fraction: float = 0.0,
         assign_chunk: int = 16384,
         spill_rounds: int = 8,
     ) -> None:
@@ -865,6 +901,7 @@ class ScaNN(factorized_top_k.TopK):
         self._query_batch = query_batch
         self._seed = seed
         self._kmeans_sample = kmeans_sample_size
+        self._kmeans_balance = kmeans_balance_fraction
         self._assign_chunk = assign_chunk
         self._spill_rounds = spill_rounds
         self._built = False
@@ -993,6 +1030,7 @@ class ScaNN(factorized_top_k.TopK):
         centroids = kmeans_device(
             candidates, num_leaves, self._iterations, self._seed,
             chunk=self._assign_chunk, sample=self._kmeans_sample,
+            balance_fraction=self._kmeans_balance,
         )
         soar = self._soar_lambda is not None and num_leaves > 1
         rounds = min(
@@ -1166,6 +1204,7 @@ class ScaNN(factorized_top_k.TopK):
         centroids = kmeans_device(
             sample, num_leaves, self._iterations, self._seed,
             chunk=self._assign_chunk,
+            balance_fraction=self._kmeans_balance,
         )
         del sample
 
