@@ -568,3 +568,43 @@ def test_scoring_buckets_validation():
         approximate.ScaNN(probe_tile=0)
     with pytest.raises(ValueError, match="probe_tile"):
         approximate.ScaNN(probe_tile=8)
+
+
+def test_kmeans_balance_reduces_leaf_skew():
+    """Split-reseed balancing (`kmeans_balance_fraction`) must cut the
+    max leaf load on skewed data while keeping probed recall sane —
+    the 100M capacity-spill fix (docs/PARITY.md round 4)."""
+    rng = np.random.RandomState(0)
+    # Heavy skew: 80% of mass in 2 of 16 latent blobs.
+    centers = rng.normal(size=(16, 64)).astype(np.float32)
+    blob = np.where(
+        rng.uniform(size=4096) < 0.8, rng.randint(0, 2, 4096),
+        rng.randint(0, 16, 4096),
+    )
+    corpus = centers[blob] + 0.2 * rng.normal(size=(4096, 64)).astype(
+        np.float32
+    )
+    queries = corpus[rng.randint(0, 4096, 32)]
+
+    def build(balance):
+        idx = approximate.ScaNN(
+            k=10, num_leaves=32, num_leaves_to_search=12,
+            training_iterations=12, seed=0,
+            kmeans_balance_fraction=balance,
+        ).index(jnp.asarray(corpus))
+        loads = np.asarray(idx._leaf_valid).sum(axis=1)
+        return idx, loads
+
+    plain, plain_loads = build(0.0)
+    bal, bal_loads = build(0.25)
+    assert bal_loads.max() < plain_loads.max(), (
+        bal_loads.max(), plain_loads.max())
+    _, exact = scoring.exact_top_k(
+        jnp.asarray(queries), jnp.asarray(corpus), 10
+    )
+    _, got = bal(jnp.asarray(queries))
+    rec = np.mean([
+        len(np.intersect1d(np.asarray(exact)[i], np.asarray(got)[i])) / 10
+        for i in range(32)
+    ])
+    assert rec > 0.85, rec
