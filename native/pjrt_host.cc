@@ -34,7 +34,8 @@
 //
 // Tensor container format (shared with utils/native_serving.py), little
 // endian, tensors concatenated:
-//   int32 dtype  (0=f32, 1=i32, 2=i64, 3=bf16, 4=f16, 5=u32)
+//   int32 dtype  (0=f32, 1=i32, 2=i64, 3=bf16, 4=f16, 5=u32,
+//                 6=bool, 7=i8)
 //   int32 rank
 //   int64 dims[rank]
 //   raw data (product(dims) * element_size bytes)
@@ -197,13 +198,14 @@ constexpr int kDtypeBF16 = 3;
 constexpr int kDtypeF16 = 4;
 constexpr int kDtypeU32 = 5;
 constexpr int kDtypeBool = 6;
+constexpr int kDtypeI8 = 7;
 
 int64_t ElementSize(int dtype) {
   switch (dtype) {
     case kDtypeF32: case kDtypeI32: case kDtypeU32: return 4;
     case kDtypeI64: return 8;
     case kDtypeBF16: case kDtypeF16: return 2;
-    case kDtypeBool: return 1;
+    case kDtypeBool: case kDtypeI8: return 1;
     default:
       std::fprintf(stderr, "unknown dtype code %d\n", dtype);
       std::exit(1);
@@ -219,6 +221,7 @@ PJRT_Buffer_Type ToBufferType(int dtype) {
     case kDtypeF16: return PJRT_Buffer_Type_F16;
     case kDtypeU32: return PJRT_Buffer_Type_U32;
     case kDtypeBool: return PJRT_Buffer_Type_PRED;
+    case kDtypeI8: return PJRT_Buffer_Type_S8;
     default:
       std::fprintf(stderr, "unknown dtype code %d\n", dtype);
       std::exit(1);
@@ -234,6 +237,7 @@ int FromBufferType(PJRT_Buffer_Type type) {
     case PJRT_Buffer_Type_F16: return kDtypeF16;
     case PJRT_Buffer_Type_U32: return kDtypeU32;
     case PJRT_Buffer_Type_PRED: return kDtypeBool;
+    case PJRT_Buffer_Type_S8: return kDtypeI8;
     default:
       std::fprintf(stderr, "unsupported output buffer type %d\n",
                    static_cast<int>(type));

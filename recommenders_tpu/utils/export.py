@@ -97,6 +97,16 @@ def export_fn(
         f.write(exported.serialize())
     with open(os.path.join(path, _MLIR_FILE), "w") as f:
         f.write(exported.mlir_module())
+    # jax.export DROPS arguments the traced fn never uses from the
+    # module signature (e.g. a ScaNN export's leaf_rows on the
+    # no-reorder gather path). The in-process loader consults the
+    # Exported object's kept-var indices; a raw-MLIR host must too —
+    # feeding every array would bind operands off by one and fault the
+    # device. Persist the kept indices for `native_serving`.
+    import json
+
+    with open(os.path.join(path, "kept_args.json"), "w") as f:
+        json.dump(sorted(exported.module_kept_var_idx), f)
     # Serialized default CompileOptionsProto for non-JAX hosts
     # (native/pjrt_host.cc passes it to PJRT_Client_Compile).
     from recommenders_tpu.utils import native_serving

@@ -47,6 +47,7 @@ _CODES: List[Tuple[np.dtype, int]] = [
     (np.dtype(np.float16), 4),
     (np.dtype(np.uint32), 5),
     (np.dtype(np.bool_), 6),
+    (np.dtype(np.int8), 7),
 ]
 _TO_CODE = {dt: code for dt, code in _CODES}
 _FROM_CODE = {code: dt for dt, code in _CODES}
@@ -252,8 +253,13 @@ def serve_exported_index(
     """
     data = np.load(os.path.join(export_dir, "arrays.npz"))
     if "centroids" in data.files:  # ScaNN artifact.
+        # Presence-filtered in _export_scann's exact argument order —
+        # including the bucketed path's flat_ids and the reorder pass's
+        # corpus arrays: a missing operand binds the module's trailing
+        # inputs to garbage and faults the device.
         names = [n for n in ("centroids", "leaf_embs", "leaf_scales",
-                             "leaf_ids", "leaf_rows", "leaf_valid")
+                             "leaf_ids", "leaf_rows", "leaf_valid",
+                             "flat_ids", "corpus", "corpus_identifiers")
                  if n in data.files]
         args = [data[n] for n in names]
     else:
@@ -271,6 +277,16 @@ def serve_exported_index(
     else:
         query_args = [queries]
         rotate = 1
+    # jax.export drops unused arguments from the module signature;
+    # filter to the recorded kept indices (position 0 is the query
+    # batch) or the host would bind operands off by one.
+    kept_path = os.path.join(export_dir, "kept_args.json")
+    if os.path.exists(kept_path):
+        import json
+
+        with open(kept_path) as f:
+            kept = set(json.load(f))
+        args = [a for i, a in enumerate(args, start=1) if i in kept]
     return run_host(
         module,
         [*query_args, *args],
