@@ -310,6 +310,23 @@ def _apply_sparse_kernel(
         block_rows = 2048
         while block_rows > 8 and block_rows * bytes_per_row > 7 << 20:
             block_rows //= 2
+        # 3/2× upgrade: per-grid-step pipeline overhead is ~0.7 us/pair
+        # (benchmarks/_kernel_floor_probe.py), so fewer, bigger blocks
+        # win whenever they fit — a 3·2^k block size that divides V
+        # cuts the sweep's step count 33% vs the 2^k pick (headline
+        # shape, measured: br=3072 307.8 us vs br=2048 328.1 us,
+        # median of 5). Gated at 8 MB modeled (≈14.4 MB real at the
+        # model's measured 1.8× underestimate) so it only fires where
+        # the smaller pick already left slack.
+        pick = sparse_apply._pick_block_rows(v, block_rows)
+        up = pick * 3 // 2
+        if (
+            pick
+            and up % 8 == 0
+            and v % up == 0
+            and up * bytes_per_row <= 8 << 20
+        ):
+            block_rows = up
     if sparse_apply._pick_block_rows(v, block_rows) == 0:
         return None
     if max_unique is not None and max_unique < ids.shape[0]:
