@@ -353,3 +353,37 @@ def test_scann_int4_reorder_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(scores), np.asarray(expected_scores), rtol=1e-4
     )
+
+
+def test_export_records_kept_args_for_raw_mlir_hosts(tmp_path):
+    """jax.export drops unused arguments from the module signature (a
+    no-reorder ScaNN never reads leaf_rows); raw-MLIR hosts must feed
+    only the kept operands or they bind off by one and fault the
+    device (round-4 native-serving bug). The export persists
+    `module_kept_var_idx` as kept_args.json."""
+    import json
+
+    import jax.numpy as jnp
+
+    from recommenders_tpu.utils import export as export_lib
+
+    def fn(queries, used, unused):
+        return queries @ used.T
+
+    q = np.ones((4, 8), np.float32)
+    used = np.ones((6, 8), np.float32)
+    unused = np.ones((5,), np.int32)
+    export_lib.export_fn(str(tmp_path), fn, jnp.asarray(q), used, unused)
+    kept = set(json.load(open(tmp_path / "kept_args.json")))
+    assert 0 in kept and 1 in kept and 2 not in kept, kept
+    # The module signature really does carry only the kept args.
+    text = open(tmp_path / "module.mlir").read()
+    sig = next(
+        line for line in text.splitlines() if "func public @main" in line
+    )
+    assert sig.count("%arg") == 2, sig
+    assert "5xi32" not in sig, sig
+    # The serve-side filter drops the unused operand.
+    args = [used, unused]
+    filtered = [a for i, a in enumerate(args, start=1) if i in kept]
+    assert len(filtered) == 1 and filtered[0] is used
