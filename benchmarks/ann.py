@@ -417,7 +417,8 @@ def main():
             probe_tile=tile,
             query_batch=qn,
             kmeans_sample_size=min(n, 1 << 21),
-            training_iterations=8,
+            kmeans_balance_fraction=args.balance,
+            training_iterations=args.train_iters,
         )
         index.index(corpus)  # jax.Array → device-resident build
         build_s = time.time() - t0
