@@ -371,8 +371,50 @@ class EmbeddingEngine:
                 f"Known: {sorted(self._configs)}."
             )
         out = {}
+        # Fused fast path: rank-1 plain features sharing one storage
+        # array (table stacking) gather TOGETHER — one XLA row-gather
+        # per storage instead of one per feature. TPU gathers cost
+        # ~20 ns/row plus per-op overhead; at 26 stacked Criteo-style
+        # tables the 26 separate gather ops are a measurable slice of
+        # the step. Values are bit-identical to the per-feature path
+        # (same rows through the same gather, split afterwards).
+        groups: Dict = {}
+        rest = []
         for fname, feature in features.items():
             fc = self._configs[fname]
+            sname, _ = self._storage[fc.table.name]
+            plain = (
+                not isinstance(feature, tuple)
+                and getattr(feature, "ndim", None) == 1
+                and fc.max_sequence_length == 0
+            )
+            if plain:
+                groups.setdefault(
+                    (sname, feature.shape[0]), []
+                ).append((fname, fc, feature))
+            else:
+                rest.append((fname, fc, feature))
+        for (sname, b), members in groups.items():
+            table = jax.lax.stop_gradient(state.tables[sname])
+            if len(members) == 1:
+                fname, fc, feature = members[0]
+                out[fname] = embedding_lib.lookup_feature(
+                    table, fc, self._physical_feature(fc, feature)
+                )
+                continue
+            ids = jnp.concatenate([
+                self._to_physical(f, fc.table) for _, fc, f in members
+            ])
+            safe = jnp.maximum(ids, 0)
+            gathered = jnp.take(table, safe, axis=0)
+            gathered = jnp.where(
+                (ids != PAD_ID)[:, None], gathered, 0.0
+            )
+            for i, (fname, fc, _) in enumerate(members):
+                out[fname] = jax.lax.slice_in_dim(
+                    gathered, i * b, (i + 1) * b, axis=0
+                )
+        for fname, fc, feature in rest:
             sname, _ = self._storage[fc.table.name]
             table = jax.lax.stop_gradient(state.tables[sname])
             out[fname] = embedding_lib.lookup_feature(
