@@ -456,17 +456,19 @@ def sorted_block_apply(
     # read in `_kernel`).
     d_grad = -(-(d + 1) // _LANES) * _LANES
     d_aug = d_grad
-    aug = lax.bitcast_convert_type(
-        jnp.concatenate(
-            [
-                sorted_grads.astype(jnp.float32),
-                jnp.zeros((n, d_grad - d), jnp.float32),
-            ],
-            axis=1,
+    # The id lane rides IN the concatenate (lane d), not as a
+    # second `.at[:, d].set` pass — that rewrote the whole [n, d_aug]
+    # stream once more per step (~22 us at the headline shape,
+    # trace-measured as its own dynamic-update-slice op).
+    parts = [
+        lax.bitcast_convert_type(
+            sorted_grads.astype(jnp.float32), jnp.int32
         ),
-        jnp.int32,
-    )
-    aug = aug.at[:, d].set(sorted_ids.astype(jnp.int32))
+        sorted_ids.astype(jnp.int32)[:, None],
+    ]
+    if d_grad - d - 1:
+        parts.append(jnp.zeros((n, d_grad - d - 1), jnp.int32))
+    aug = jnp.concatenate(parts, axis=1)
     pad_rows = (-n) % chunk
     aug = jnp.pad(aug, ((0, pad_rows), (0, 0)))
 
