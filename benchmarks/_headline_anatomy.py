@@ -195,7 +195,7 @@ def main():
             def body(sts, salt):
                 new = sparse_apply.sorted_block_apply(
                     sts, pre, grads * (1.0 + salt[0] * 1e-9), rule,
-                    scalars=scalars, block_rows=2048,
+                    scalars=scalars, block_rows=3072,
                     stochastic_round_seed=salt[0],
                 )
                 return tuple(new), new[1][0, 0]
