@@ -124,7 +124,12 @@ class EmbeddingEngine:
         `row_sharding="div"`; tables with `max_unique_ids` stay solo
         (the bound is per-table). Checkpoints store the stacked layout —
         round-trip through `logical_tables` to move between stacked and
-        unstacked engines.
+        unstacked engines. Measured (v5e): +3% on a 2-table step and
+        1.57× on a 26-table Criteo-style step (docs/PARITY.md round 4 —
+        group storage pads to a 2048-row multiple so the update
+        kernel's block size never collapses), so turn it on for any
+        multi-table training workload; it stays opt-in only because
+        stacked state uses group-keyed table names.
     """
 
     def __init__(
