@@ -427,3 +427,49 @@ def test_engine_training_quality_on_chip(tmp_path):
     # rounding in the loss matmuls.
     assert loss_tpu < 4.0, (loss_tpu, loss_cpu)
     assert abs(loss_tpu - loss_cpu) < 0.3, (loss_tpu, loss_cpu)
+
+
+def test_native_host_serves_exported_scann(tmp_path):
+    """Full ScaNN pipeline (probe → int8 bucketed fold) through the C++
+    host with the kept-args manifest: jax.export drops unused module
+    arguments, and feeding all saved arrays bound operands off by one
+    and faulted the device until round 4 persisted
+    `module_kept_var_idx` (utils/export.py kept_args.json)."""
+    from recommenders_tpu.utils import native_serving as ns
+
+    assert ns.axon_available(), "axon plugin or host binary missing"
+    work = str(tmp_path)
+
+    _run_on_tpu(f"""
+        import sys; sys.path.insert(0, {REPO!r})
+        import numpy as np, jax.numpy as jnp
+        from recommenders_tpu.layers import approximate
+        from recommenders_tpu.utils import export as ex
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+        c = jnp.asarray(
+            rng.normal(size=(50_000, 128)).astype(np.float32)
+        )
+        index = approximate.ScaNN(
+            k=10, num_leaves=128, num_leaves_to_search=32,
+            quantize="int8", scoring_buckets=512, probe_tile=16,
+            query_batch=64, training_iterations=3,
+        ).index(c)
+        es, ei = index(q)
+        ex.export_index({work!r} + "/sc", index, q, k=10)
+        np.save({work!r} + "/q.npy", np.asarray(q))
+        np.save({work!r} + "/expected_ids.npy", np.asarray(ei))
+        print("phase A ok")
+    """, timeout=900.0)
+
+    res = ns.serve_exported_index(
+        os.path.join(work, "sc"), np.load(os.path.join(work, "q.npy")),
+        timeout=900.0,
+    )
+    _, out_ids = res.outputs
+    expected = np.load(os.path.join(work, "expected_ids.npy"))
+    overlap = np.mean([
+        len(np.intersect1d(expected[i], out_ids[i])) / 10
+        for i in range(64)
+    ])
+    assert overlap > 0.99, overlap
