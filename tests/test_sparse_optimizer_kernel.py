@@ -204,3 +204,41 @@ def test_engine_kernel_path_matches_scatter_path():
         rtol=1e-4,
         atol=5e-5,
     )
+
+
+def test_block_upgrade_picks_three_halves_when_it_divides(monkeypatch):
+    """The auto block picker upgrades 2^k to 3·2^(k-1) when that
+    divides V and fits the VMEM model (round 4: br=3072 on the
+    196608-row stacked headline group cut grid steps 33%)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from recommenders_tpu.embedding import config as cfg
+    from recommenders_tpu.embedding import sparse_optimizer as so
+    from recommenders_tpu.ops import sparse_apply
+
+    captured = {}
+    real = sparse_apply.sorted_block_apply
+
+    def spy(*args, **kwargs):
+        captured["block_rows"] = kwargs.get("block_rows")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(sparse_apply, "sorted_block_apply", spy)
+    rng = np.random.RandomState(0)
+    spec = cfg.OptimizerSpec(kind="adagrad", learning_rate=0.1)
+    v = 12288  # 3 * 4096: the 3/2 upgrade of 2048 divides it.
+    table = jnp.asarray(rng.randn(v, 64), jnp.float32)
+    slots = so.init_slots(spec, table)
+    ids = jnp.asarray(rng.randint(0, v, 256), jnp.int32)
+    grads = jnp.asarray(rng.randn(256, 64), jnp.float32)
+    t1, _ = so.apply_sparse(
+        spec, table, slots, ids, grads, jnp.int32(0), use_kernel=True
+    )
+    assert captured["block_rows"] == 3072, captured
+    t2, _ = so.apply_sparse(
+        spec, table, slots, ids, grads, jnp.int32(0), use_kernel=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(t1), np.asarray(t2), rtol=2e-5, atol=2e-5
+    )
