@@ -364,6 +364,42 @@ class EmbeddingEngine:
 
     # --- Forward ----------------------------------------------------------
 
+    @staticmethod
+    def _wide_row_gather(table: Array, ids: Array) -> Array:
+        """Row gather through a `[V·d/128, 128]` full-lane view.
+
+        At narrow dims (d < 128) XLA's layout assignment can prefer a
+        TRANSPOSED table operand for `jnp.take` and insert a per-step
+        layout-conversion copy of the whole table — trace-measured at
+        d=32 on the 26-table stacked group: a 581 MB transpose every
+        step, 2.1 ms of an 18 ms step (docs/PARITY.md round 4).
+        Gathering 128-lane rows of a reshaped view keeps the canonical
+        layout and full DMA lanes; the row's d-lane slice is picked
+        with one select_n. Values are exactly `table[ids]` with
+        PAD/negative ids zeroed (the engine lookup contract).
+
+        The wide view is a per-step RETILE of the whole table under the
+        bf16 (8,128)(2,1) tiling (~2.3 ms at 4.5M×32), so the path only
+        pays off where the transpose pathology exists: d < 64
+        (trace-verified at d=64 the plain gather keeps the canonical
+        layout and the retile is a pure ~65 us/step regression —
+        measured on the headline bench).
+        """
+        v, d = table.shape
+        per = 128 // d if d and 128 % d == 0 else 0
+        safe = jnp.maximum(ids, 0)
+        if per <= 1 or v % per or d >= 64:
+            out = jnp.take(table, safe, axis=0)
+            return jnp.where((ids != PAD_ID)[:, None], out, 0.0)
+        wide = table.reshape(v // per, per * d)
+        g = jnp.take(wide, safe // per, axis=0)      # [n, 128]
+        sub = (safe % per).astype(jnp.int32)
+        parts = [g[:, i * d:(i + 1) * d] for i in range(per)]
+        out = jax.lax.select_n(
+            jnp.broadcast_to(sub[:, None], parts[0].shape), *parts
+        )
+        return jnp.where((ids != PAD_ID)[:, None], out, 0.0)
+
     def lookup(
         self, state: EngineState, features: Mapping[str, FeatureInput]
     ) -> Dict[str, Array]:
@@ -403,18 +439,17 @@ class EmbeddingEngine:
             table = jax.lax.stop_gradient(state.tables[sname])
             if len(members) == 1:
                 fname, fc, feature = members[0]
-                out[fname] = embedding_lib.lookup_feature(
-                    table, fc, self._physical_feature(fc, feature)
+                out[fname] = self._wide_row_gather(
+                    table,
+                    self._to_physical(
+                        _split_feature(feature)[0], fc.table
+                    ),
                 )
                 continue
             ids = jnp.concatenate([
                 self._to_physical(f, fc.table) for _, fc, f in members
             ])
-            safe = jnp.maximum(ids, 0)
-            gathered = jnp.take(table, safe, axis=0)
-            gathered = jnp.where(
-                (ids != PAD_ID)[:, None], gathered, 0.0
-            )
+            gathered = self._wide_row_gather(table, ids)
             for i, (fname, fc, _) in enumerate(members):
                 out[fname] = jax.lax.slice_in_dim(
                     gathered, i * b, (i + 1) * b, axis=0
