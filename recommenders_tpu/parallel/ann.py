@@ -72,6 +72,35 @@ def _shard_devices(mesh: Mesh, axis: str):
     return list(mesh.devices.flatten())
 
 
+# Eager `index()` guard: a host corpus bigger than this (f32 bytes)
+# must not be materialized on ONE device by a Sharded* entry point —
+# that is exactly the scale sharding exists for. Conservative for a
+# 16 GB v5e: the eager build needs the corpus plus a padded copy.
+SINGLE_DEVICE_BUILD_BUDGET_BYTES = 6 << 30
+
+
+def _host_corpus_rows(candidates, budget_bytes: int):
+    """Returns `(as_numpy, n_rows)` when `candidates` is a HOST array
+    whose f32 footprint exceeds `budget_bytes`, else `(None, 0)`.
+
+    Device-resident `jax.Array`s are excluded: their placement already
+    happened at the caller's hands, so delegating cannot unmaterialize
+    anything (and sharded inputs are already distributed)."""
+    if isinstance(candidates, jax.Array):
+        return None, 0
+    arr = np.asarray(candidates)
+    if arr.ndim == 2 and arr.shape[0] * arr.shape[1] * 4 > budget_bytes:
+        return arr, arr.shape[0]
+    return None, 0
+
+
+def _batched(arr: np.ndarray, rows: int = 1 << 18):
+    def gen():
+        for i in range(0, arr.shape[0], rows):
+            yield arr[i:i + rows]
+    return gen
+
+
 def _zeros_on(shape, dtype, dev):
     """Allocates zeros DIRECTLY on `dev` — no host buffer, no transfer
     (a 100M-scale shard must not ride the ~25 MB/s host link)."""
@@ -186,6 +215,20 @@ class ShardedBucketed(layers_ftk.TopK):
         identifiers: Optional[Array] = None,
     ) -> "ShardedBucketed":
         from recommenders_tpu.ops import quantization, scoring
+
+        # A host corpus past one device's build budget must never be
+        # committed to a single device here — delegate to the streamed
+        # build, which moves each row block straight to its owning
+        # shard device (bit-equal to this path: tests/test_sharded_ann
+        # asserts eager/streamed agreement).
+        if self._mesh.shape[self._axis] > 1:
+            host, n_rows = _host_corpus_rows(
+                candidates, SINGLE_DEVICE_BUILD_BUDGET_BYTES
+            )
+            if host is not None:
+                return self.index_streamed(
+                    _batched(host), n_rows, identifiers=identifiers
+                )
 
         candidates = jnp.asarray(candidates)
         if candidates.ndim != 2:
@@ -578,6 +621,29 @@ class ShardedScaNN(layers_ftk.TopK):
         identifiers: Optional[Array] = None,
     ) -> "ShardedScaNN":
         inner = self._scann
+        # A host corpus past one device's build budget would OOM the
+        # default device in the inner single-device build — exactly the
+        # scale sharding exists for. Delegate to the streamed sharded
+        # build (leaf storage goes straight to owning devices); SOAR
+        # cannot stream, so refuse it with a pointer instead of OOMing.
+        if self._mesh.shape[self._axis] > 1:
+            host, n_rows = _host_corpus_rows(
+                candidates, SINGLE_DEVICE_BUILD_BUDGET_BYTES
+            )
+            if host is not None:
+                if inner._soar_lambda is not None:
+                    raise ValueError(
+                        "This corpus exceeds the single-device build "
+                        "budget and soar_lambda is set: the eager build "
+                        "would materialize the full corpus on one device "
+                        "and the streamed build does not support SOAR. "
+                        "Drop soar_lambda (use kmeans_balance_fraction "
+                        "for recall — see docs/PARITY.md) and build via "
+                        "index_streamed, or shrink the corpus."
+                    )
+                return self.index_streamed(
+                    _batched(host), n_rows, identifiers=identifiers
+                )
         inner.index(candidates, identifiers)
         s = self._mesh.shape[self._axis]
         num_leaves = inner._centroids.shape[0]

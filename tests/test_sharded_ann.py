@@ -463,3 +463,47 @@ def test_sharded_scann_streamed_with_reorder():
         for r in range(16)
     ])
     assert overlap > 0.85, overlap
+
+
+def test_eager_index_delegates_oversized_host_corpus(monkeypatch):
+    """A host corpus past the single-device build budget must route
+    through the streamed build (no one-device materialization) and
+    produce the streamed result; SOAR refuses with a pointer."""
+    monkeypatch.setattr(
+        ann_lib, "SINGLE_DEVICE_BUILD_BUDGET_BYTES", 1 << 20
+    )
+    queries, corpus = _clustered(4096, 128, 16, seed=23)
+    host = np.asarray(corpus)  # 2 MB f32 > patched 1 MB budget
+
+    eager = ann_lib.ShardedBucketed(k=20, buckets=512, chunk=512).index(
+        host
+    )
+    streamed = ann_lib.ShardedBucketed(
+        k=20, buckets=512, chunk=512
+    ).index_streamed(ann_lib._batched(host), 4096)
+    _assert_topk_equal(
+        eager(queries), streamed(queries), "bucketed delegation",
+        rtol=1e-5,
+    )
+
+    params = _scann_params(quantize="int8", kmeans_sample_size=4096)
+    eager_s = ann_lib.ShardedScaNN(
+        approximate.ScaNN(**params)
+    ).index(host)
+    streamed_s = ann_lib.ShardedScaNN(
+        approximate.ScaNN(**params)
+    ).index_streamed(ann_lib._batched(host), 4096)
+    _assert_topk_equal(
+        eager_s(queries), streamed_s(queries), "scann delegation"
+    )
+
+    soar = approximate.ScaNN(**dict(params, soar_lambda=1.0))
+    with pytest.raises(ValueError, match="single-device build budget"):
+        ann_lib.ShardedScaNN(soar).index(host)
+
+    # Device-resident corpora keep the eager path (placement already
+    # happened at the caller's hands).
+    dev = ann_lib.ShardedBucketed(k=20, buckets=512, chunk=512).index(
+        corpus
+    )
+    assert dev._rows_per_shard > 0
