@@ -37,6 +37,7 @@ enough that dense gradients are acceptable; the engine is the scale path.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Mapping, Optional, Tuple
 
 import jax
@@ -130,6 +131,18 @@ class EmbeddingEngine:
         kernel's block size never collapses), so turn it on for any
         multi-table training workload; it stays opt-in only because
         stacked state uses group-keyed table names.
+      lane_pack: Store narrow-dim tables (d < 128, d | 128) lane-packed:
+        128/d consecutive logical rows per physical 128-lane storage row
+        (`[V·d/128, 128]` arrays; rowwise slots `[V·d/128, 128/d]`).
+        Forward gathers move full-lane rows (no narrow-dim layout
+        pathologies), and the blocked update kernel routes against
+        128/d× fewer physical rows at full MXU tile width — the
+        dominant cost of the many-table step (docs/PARITY.md round 5).
+        Default (None) auto-enables wherever the kernel path runs
+        (unsharded, div sharding, supported optimizer kinds); packed
+        state requires the kernel (no scatter fallback). Checkpoints
+        store the packed layout — round-trip through `logical_tables`
+        to move between packed and unpacked engines.
     """
 
     def __init__(
@@ -145,6 +158,7 @@ class EmbeddingEngine:
         stochastic_rounding: bool = True,
         stack_tables: bool = False,
         exact_grad_routing: bool = True,
+        lane_pack: Optional[bool] = None,
     ) -> None:
         if row_sharding not in ("div", "mod"):
             raise ValueError(
@@ -154,6 +168,12 @@ class EmbeddingEngine:
             raise ValueError(
                 "stack_tables requires row_sharding='div' (the mod "
                 "permutation is per-table)."
+            )
+        if lane_pack and (mesh is not None or row_sharding == "mod"):
+            raise ValueError(
+                "lane_pack requires an unsharded engine with "
+                "row_sharding='div' (packed state exists for the "
+                "blocked update kernel, which is shard-local)."
             )
         self.feature_configs = tuple(feature_configs)
         self.default_optimizer = optimizer or config_lib.OptimizerSpec()
@@ -166,6 +186,30 @@ class EmbeddingEngine:
         self.stochastic_rounding = stochastic_rounding
         self.stack_tables = stack_tables
         self.exact_grad_routing = exact_grad_routing
+        # Lane packing stores a narrow table's rows side by side in
+        # full 128-lane physical rows ([V·d/128, 128] storage): the
+        # forward gather moves full-lane rows (no layout pathologies at
+        # d < 64 — round 4 paid a per-step whole-table retile for the
+        # same effect), and the update kernel routes against 128/d×
+        # fewer physical rows at full MXU tile width (the V·chunk
+        # routing-compare term dominated the many-table step; see
+        # docs/PARITY.md round 5). Auto-enables where the blocked
+        # kernel path runs ON TPU (unsharded, div, kernel on); CPU
+        # runs — interpret-mode tests — opt in explicitly so layouts
+        # stay inspection-friendly there.
+        if lane_pack is None:
+            kernel_on = (
+                sparse_update_kernel
+                if sparse_update_kernel is not None
+                else (mesh is None)
+            )
+            lane_pack = bool(
+                kernel_on
+                and mesh is None
+                and row_sharding == "div"
+                and jax.default_backend() == "tpu"
+            )
+        self.lane_pack = lane_pack
 
         self._tables: Dict[str, config_lib.TableConfig] = {}
         for fc in self.feature_configs:
@@ -188,6 +232,7 @@ class EmbeddingEngine:
         self._storage: Dict[str, Tuple[str, int]] = {}
         self._storage_members: Dict[str, list] = {}
         self._stack_pad: Dict[str, int] = {}
+        self._pack: Dict[str, int] = {}
         if stack_tables:
             groups: Dict = {}
             for name, tc in self._tables.items():
@@ -208,24 +253,53 @@ class EmbeddingEngine:
                     self._storage[name] = (sname, off)
                     off += self._padded_rows(self._tables[name])
                 self._storage_members[sname] = list(members)
-                # Pad the group to a 2048-row multiple: the blocked
-                # update kernel needs a power-of-two block size that
-                # DIVIDES the storage rows, and an unpadded many-table
-                # group (row multiple 128) can force block_rows down to
-                # 128 — at 26 Criteo-style tables that is ~35k grid
-                # steps of ~0.7 us pipeline overhead each, the whole
-                # reason stacking measured SLOWER than per-table in
-                # round 3 (docs/PARITY.md). Tail rows are unaddressable
-                # (ids map inside member tables) and never stream: the
-                # kernel's pair list only includes touched blocks.
-                self._stack_pad[sname] = -off % 2048
         else:
             for name in self._tables:
                 self._storage[name] = (name, 0)
                 self._storage_members[name] = [name]
+        for sname, members in self._storage_members.items():
+            tc = self._tables[members[0]]
+            self._pack[sname] = self._pack_of(tc)
+        for sname, members in self._storage_members.items():
+            rows = sum(
+                self._padded_rows(self._tables[m]) for m in members
+            )
+            pack = self._pack[sname]
+            # Pad storage rows so the blocked update kernel keeps a
+            # power-of-two PHYSICAL block size that DIVIDES the storage:
+            # an unpadded many-table group (row multiple 128) can force
+            # block_rows down to 128 — at 26 Criteo-style tables that is
+            # ~35k grid steps of ~0.7 us pipeline overhead each, the
+            # whole reason stacking measured SLOWER than per-table in
+            # round 3 (docs/PARITY.md). Lane packing divides rows by
+            # `pack`, so packed storage pads to a 2048·pack multiple
+            # (128·pack for small tables — full 2048-blocks would be
+            # mostly padding there). Tail rows are unaddressable (ids
+            # map inside member tables) and never stream: the kernel's
+            # pair list only includes touched blocks.
+            if len(members) > 1 or pack > 1:
+                target = 2048 * pack
+                if rows < target:
+                    target = 128 * pack
+                self._stack_pad[sname] = -rows % target
 
     def _spec(self, tc: config_lib.TableConfig) -> config_lib.OptimizerSpec:
         return tc.optimizer or self.default_optimizer
+
+    def _pack_of(self, tc: config_lib.TableConfig) -> int:
+        """Lane-packing factor for a table's storage (1 = unpacked).
+
+        Packs only dims that tile 128 lanes exactly and optimizers the
+        blocked kernel supports (packed state cannot take the scatter
+        path — see `sparse_optimizer.apply_sparse`)."""
+        if not self.lane_pack:
+            return 1
+        d = tc.dim
+        if d >= 128 or 128 % d != 0:
+            return 1
+        if self._spec(tc).kind not in sparse_optimizer.KERNEL_KINDS:
+            return 1
+        return 128 // d
 
     def _sharding(self) -> Optional[NamedSharding]:
         if self.mesh is None:
@@ -295,9 +369,14 @@ class EmbeddingEngine:
         for name, tc in self._tables.items():
             sname, offset = self._storage[name]
             arr = state.tables[sname]
-            if sname != name:
+            pack = self._pack[sname]
+            if pack > 1:
+                # Inverse of the init-time row-major packing.
+                arr = arr.reshape(arr.shape[0] * pack, tc.dim)
+            rows = self._padded_rows(tc)
+            if sname != name or arr.shape[0] != rows:
                 arr = jax.lax.slice_in_dim(
-                    arr, offset, offset + self._padded_rows(tc), axis=0
+                    arr, offset, offset + rows, axis=0
                 )
             out[name] = arr
         return out
@@ -331,15 +410,23 @@ class EmbeddingEngine:
         tables: Dict[str, Array] = {}
         slots: Dict[str, Dict[str, Array]] = {}
         for sname, members in self._storage_members.items():
-            def make_storage(members=members, sname=sname):
+            pack = self._pack[sname]
+
+            def make_storage(members=members, sname=sname, pack=pack):
                 parts = [makes[m]() for m in members]
                 pad = self._stack_pad.get(sname, 0)
                 if pad:
                     dim = self._tables[members[0]].dim
                     parts.append(jnp.zeros((pad, dim), self.dtype))
-                return parts[0] if len(parts) == 1 else jnp.concatenate(
+                arr = parts[0] if len(parts) == 1 else jnp.concatenate(
                     parts, axis=0
                 )
+                if pack > 1:
+                    # Lane-packed physical layout: `pack` consecutive
+                    # logical rows per 128-lane row (row-major reshape,
+                    # exactly inverted by `logical_tables`).
+                    arr = arr.reshape(arr.shape[0] // pack, 128)
+                return arr
 
             if sharding is not None:
                 table = jax.jit(make_storage, out_shardings=sharding)()
@@ -356,7 +443,7 @@ class EmbeddingEngine:
                 )()
             else:
                 slots[sname] = sparse_optimizer.init_slots(
-                    spec, table, self.slot_dtype
+                    spec, table, self.slot_dtype, pack=pack
                 )
         return EngineState(
             tables=tables, slots=slots, step=jnp.zeros((), jnp.int32)
@@ -400,6 +487,53 @@ class EmbeddingEngine:
         )
         return jnp.where((ids != PAD_ID)[:, None], out, 0.0)
 
+    @staticmethod
+    def _packed_row_gather(table: Array, ids: Array, pack: int) -> Array:
+        """Row gather from lane-packed `[V/pack, pack·d]` storage.
+
+        The storage IS the wide full-lane view `_wide_row_gather` pays a
+        per-step retile to build (trace-measured 2.3 ms at 4.5M×32,
+        round 4): gather the 128-lane physical row, pick the logical
+        row's d-lane group with one select_n. Values are exactly
+        `logical_table[ids]` with PAD/negative ids zeroed."""
+        d = table.shape[1] // pack
+        safe = jnp.maximum(ids, 0)
+        g = jnp.take(table, safe // pack, axis=0)
+        sub = (safe % pack).astype(jnp.int32)
+        parts = [g[:, i * d:(i + 1) * d] for i in range(pack)]
+        out = jax.lax.select_n(
+            jnp.broadcast_to(sub[:, None], parts[0].shape), *parts
+        )
+        return jnp.where((ids != PAD_ID)[:, None], out, 0.0)
+
+    def _lookup_feature_packed(
+        self,
+        table: Array,
+        fc: config_lib.FeatureConfig,
+        feature: FeatureInput,
+        pack: int,
+    ) -> Array:
+        """`embedding.lookup_feature` semantics on packed storage:
+        flatten → packed gather → reshape, then the shared sequence
+        masking / combiner reduction."""
+        ids, weights = _split_feature(feature)
+        if ids.ndim == 1:
+            return self._packed_row_gather(table, ids, pack)
+        if ids.ndim != 2:
+            raise ValueError(
+                f"Feature {fc.name!r} ids must be rank 1 or 2, got "
+                f"shape {ids.shape}."
+            )
+        d = table.shape[1] // pack
+        flat = self._packed_row_gather(table, ids.reshape(-1), pack)
+        gathered = flat.reshape(ids.shape + (d,))
+        if fc.max_sequence_length > 0:
+            mask = (ids != PAD_ID)[..., None].astype(gathered.dtype)
+            return gathered * mask
+        return embedding_lib.combine(
+            gathered, ids, fc.table.combiner, weights
+        )
+
     def lookup(
         self, state: EngineState, features: Mapping[str, FeatureInput]
     ) -> Dict[str, Array]:
@@ -437,9 +571,14 @@ class EmbeddingEngine:
                 rest.append((fname, fc, feature))
         for (sname, b), members in groups.items():
             table = jax.lax.stop_gradient(state.tables[sname])
+            pack = self._pack[sname]
+            gather = (
+                functools.partial(self._packed_row_gather, pack=pack)
+                if pack > 1 else self._wide_row_gather
+            )
             if len(members) == 1:
                 fname, fc, feature = members[0]
-                out[fname] = self._wide_row_gather(
+                out[fname] = gather(
                     table,
                     self._to_physical(
                         _split_feature(feature)[0], fc.table
@@ -449,7 +588,7 @@ class EmbeddingEngine:
             ids = jnp.concatenate([
                 self._to_physical(f, fc.table) for _, fc, f in members
             ])
-            gathered = self._wide_row_gather(table, ids)
+            gathered = gather(table, ids)
             for i, (fname, fc, _) in enumerate(members):
                 out[fname] = jax.lax.slice_in_dim(
                     gathered, i * b, (i + 1) * b, axis=0
@@ -457,9 +596,15 @@ class EmbeddingEngine:
         for fname, fc, feature in rest:
             sname, _ = self._storage[fc.table.name]
             table = jax.lax.stop_gradient(state.tables[sname])
-            out[fname] = embedding_lib.lookup_feature(
-                table, fc, self._physical_feature(fc, feature)
-            )
+            pack = self._pack[sname]
+            if pack > 1:
+                out[fname] = self._lookup_feature_packed(
+                    table, fc, self._physical_feature(fc, feature), pack
+                )
+            else:
+                out[fname] = embedding_lib.lookup_feature(
+                    table, fc, self._physical_feature(fc, feature)
+                )
         return out
 
     def _physical_feature(
@@ -569,6 +714,7 @@ class EmbeddingEngine:
                 use_kernel=use_kernel,
                 sr_seed=sr_seed,
                 exact_routing=self.exact_grad_routing,
+                pack=self._pack[sname],
             )
         return EngineState(
             tables=tables, slots=slots, step=state.step + 1

@@ -102,7 +102,7 @@ def _unique_ids(ids: Array, num_rows) -> Array:
 
 
 def init_slots(
-    spec: config_lib.OptimizerSpec, table: Array, dtype=None
+    spec: config_lib.OptimizerSpec, table: Array, dtype=None, pack: int = 1
 ) -> Slots:
     """Creates the slot variables for one table.
 
@@ -112,6 +112,11 @@ def init_slots(
     moment adaptive learning rates stop adapting). Storage-constrained
     deployments can pass `jnp.bfloat16` explicitly — with the engine's
     stochastic rounding the accumulation stays unbiased.
+
+    `pack` is the lane-packing factor of `table` (logical rows per
+    physical row): full-width slots inherit the packed shape from
+    `table.shape` automatically; rowwise slots become `[V/pack, pack]`
+    (one scalar lane per logical row).
     """
     dtype = jnp.float32 if dtype is None else dtype
     full = lambda v: jnp.full(table.shape, v, dtype)  # noqa: E731
@@ -128,7 +133,7 @@ def init_slots(
         # embedding rows, whose elements share a scale.
         return {
             "accumulator": jnp.full(
-                (table.shape[0], 1),
+                (table.shape[0], pack),
                 spec.initial_accumulator_value,
                 dtype,
             )
@@ -150,7 +155,23 @@ def init_slots(
     raise ValueError(f"Unknown optimizer kind {spec.kind!r}")
 
 
-def _kernel_rule(spec: config_lib.OptimizerSpec, step: Array):
+def _group_matrix(dp: int, pack: int, dtype=jnp.float32) -> Array:
+    """`[dp, pack]` 0/1 matrix with `M[l, s] = (l // (dp/pack) == s)`.
+
+    The lane-packed rules' bridge between per-LOGICAL-row scalars
+    ([R, pack]) and packed row lanes ([R, dp]): `x @ M` sums each
+    logical row's lane group; `y @ M.T` broadcasts a per-logical-row
+    scalar across its group. Built from iota so it traces inside the
+    Pallas kernel (no captured constants)."""
+    d = dp // pack
+    lane = jax.lax.broadcasted_iota(jnp.int32, (dp, pack), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (dp, pack), 1)
+    return (lane // d == grp).astype(dtype)
+
+
+def _kernel_rule(
+    spec: config_lib.OptimizerSpec, step: Array, pack: int = 1
+):
     """(slot_names, scalars, block_update, needs_count) for the blocked
     Pallas apply.
 
@@ -162,6 +183,13 @@ def _kernel_rule(spec: config_lib.OptimizerSpec, step: Array):
     (decay-style rules where zero-grad is not an identity) — returned
     here, next to each rule's definition, so the kernel caller never
     passes `count=0` to a rule that depends on it.
+
+    `pack` > 1 selects the lane-packed variants: blocks arrive in the
+    packed [R, pack·d] layout (elementwise rules are unchanged by
+    construction), `count` is [R, pack] (one lane per logical row, so
+    decay masks expand through `_group_matrix`), and rowwise Adagrad's
+    per-logical-row reduction/broadcast runs as two small constant
+    matmuls instead of an axis-1 mean.
     """
     lr = jnp.asarray(spec.lr_at(step), jnp.float32)
 
@@ -184,16 +212,47 @@ def _kernel_rule(spec: config_lib.OptimizerSpec, step: Array):
         return ("accumulator",), jnp.stack([lr]), rule, False
 
     if spec.kind == "rowwise_adagrad":
+        if pack > 1:
 
-        def rule(states, g, count, sc):
-            table, accum = states           # accum: [R, 1]
-            new_accum = accum + jnp.mean(
-                jnp.square(g), axis=1, keepdims=True
-            )
-            scale = jax.lax.rsqrt(new_accum + 1e-12)
-            return [table - sc[0] * g * scale, new_accum]
+            def rule(states, g, count, sc, pack=pack):
+                table, accum = states       # accum: [R, pack]
+                dp = g.shape[1]
+                grp = _group_matrix(dp, pack)
+                mean = jax.lax.dot_general(
+                    jnp.square(g), grp,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * (pack / dp)
+                new_accum = accum + mean
+                scale = jax.lax.rsqrt(new_accum + 1e-12)
+                scale_b = jax.lax.dot_general(
+                    scale, grp,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return [table - sc[0] * g * scale_b, new_accum]
+
+        else:
+
+            def rule(states, g, count, sc):
+                table, accum = states           # accum: [R, 1]
+                new_accum = accum + jnp.mean(
+                    jnp.square(g), axis=1, keepdims=True
+                )
+                scale = jax.lax.rsqrt(new_accum + 1e-12)
+                return [table - sc[0] * g * scale, new_accum]
 
         return ("accumulator",), jnp.stack([lr]), rule, False
+
+    def expand_count(count, dp, pack=pack):
+        """[R, pack] per-logical-row counts → [R, dp] lane mask."""
+        if pack == 1:
+            return count            # [R, 1] broadcasts over lanes
+        return jax.lax.dot_general(
+            count, _group_matrix(dp, pack),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     if spec.kind == "adam":
         t = step.astype(jnp.float32) + 1.0
@@ -204,7 +263,7 @@ def _kernel_rule(spec: config_lib.OptimizerSpec, step: Array):
         def rule(states, g, count, sc, spec=spec):
             table, m, v = states
             lr_t, bc1, bc2 = sc
-            touched = count > 0
+            touched = expand_count(count, g.shape[1]) > 0
             m_rows = spec.beta1 * m + (1 - spec.beta1) * g
             v_rows = spec.beta2 * v + (1 - spec.beta2) * jnp.square(g)
             delta = -lr_t * (m_rows / bc1) / (
@@ -226,7 +285,7 @@ def _kernel_rule(spec: config_lib.OptimizerSpec, step: Array):
             lrp = spec.learning_rate_power
             l1 = spec.l1_regularization_strength
             l2 = spec.l2_regularization_strength
-            touched = count > 0
+            touched = expand_count(count, g.shape[1]) > 0
             n_new = accum + jnp.square(g)
             sigma = (
                 jnp.power(n_new, -lrp) - jnp.power(accum, -lrp)
@@ -261,6 +320,7 @@ def _apply_sparse_kernel(
     chunk: Optional[int] = None,
     sr_seed: Optional[Array] = None,
     exact_routing: bool = True,
+    pack: int = 1,
 ) -> Optional[Tuple[Array, Slots]]:
     """Blocked-kernel formulation of `apply_sparse`; None if unsupported.
 
@@ -269,9 +329,15 @@ def _apply_sparse_kernel(
     size) no `dedupe_sum`/segment-sum runs — just one id sort. Off-TPU
     the kernel runs interpreted (tests); real deployments hit this path
     on TPU via `apply_sparse(use_kernel=True)`.
+
+    `pack` > 1 means `table`/full slots are lane-packed `[V/pack,
+    pack·d]` (rowwise slots `[V/pack, pack]`) while `ids`/`grads` stay
+    logical — see `sparse_apply.sorted_block_apply(sub_pack=...)`.
     """
-    v = table.shape[0]
-    slot_names, scalars, rule, needs_count = _kernel_rule(spec, step)
+    v = table.shape[0] * pack           # LOGICAL rows
+    slot_names, scalars, rule, needs_count = _kernel_rule(
+        spec, step, pack
+    )
     if chunk is None:
         # Larger chunks amortize per-grid-step overhead once the update
         # list is long (v5e probe at the headline shape: c256 329 us vs
@@ -318,16 +384,17 @@ def _apply_sparse_kernel(
         # median of 5). Gated at 8 MB modeled (≈14.4 MB real at the
         # model's measured 1.8× underestimate) so it only fires where
         # the smaller pick already left slack.
-        pick = sparse_apply._pick_block_rows(v, block_rows)
+        v_phys = table.shape[0]
+        pick = sparse_apply._pick_block_rows(v_phys, block_rows)
         up = pick * 3 // 2
         if (
             pick
             and up % 8 == 0
-            and v % up == 0
+            and v_phys % up == 0
             and up * bytes_per_row <= 8 << 20
         ):
             block_rows = up
-    if sparse_apply._pick_block_rows(v, block_rows) == 0:
+    if sparse_apply._pick_block_rows(table.shape[0], block_rows) == 0:
         return None
     if max_unique is not None and max_unique < ids.shape[0]:
         # Bounded dedupe first: output ids are ascending with PAD_ID
@@ -373,6 +440,7 @@ def _apply_sparse_kernel(
         # identity), so the routing matmul drops the ones lane — at
         # d = 64 exact hi+lo routing then fits one 128-lane MXU tile.
         need_count=needs_count,
+        sub_pack=pack,
         interpret=jax.default_backend() != "tpu",
     )
     new_slots = dict(slots)
@@ -392,6 +460,7 @@ def apply_sparse(
     use_kernel: bool = False,
     sr_seed: Optional[Array] = None,
     exact_routing: bool = True,
+    pack: int = 1,
 ) -> Tuple[Array, Slots]:
     """Applies one sparse update. `ids: [n]`, `grads: [n, dim]`.
 
@@ -414,6 +483,30 @@ def apply_sparse(
     per-row scatter loop. Intended for unsharded (shard-local) tables on
     TPU; under GSPMD auto-sharding keep the scatter path.
     """
+    if pack > 1:
+        # Lane-packed state exists only for the kernel path; the
+        # scatter formulation below reads/writes LOGICAL rows and
+        # cannot express sub-row lane updates without read-modify-write
+        # hazards between logical rows sharing a physical row.
+        if not (use_kernel and spec.kind in KERNEL_KINDS):
+            raise ValueError(
+                f"Lane-packed tables (pack={pack}) require the blocked "
+                f"update kernel and a supported optimizer kind "
+                f"{KERNEL_KINDS}; got use_kernel={use_kernel}, "
+                f"kind={spec.kind!r}. Build the engine with "
+                f"lane_pack=False for the scatter path."
+            )
+        result = _apply_sparse_kernel(
+            spec, table, slots, ids, grads, step, max_unique,
+            sr_seed=sr_seed, exact_routing=exact_routing, pack=pack,
+        )
+        if result is None:
+            raise ValueError(
+                "Lane-packed update kernel found no block size dividing "
+                f"the packed table's {table.shape[0]} physical rows; "
+                "pad the table or build with lane_pack=False."
+            )
+        return result
     if use_kernel and spec.kind in KERNEL_KINDS:
         result = _apply_sparse_kernel(
             spec, table, slots, ids, grads, step, max_unique,

@@ -147,6 +147,7 @@ def _kernel(
     use_hw_rng: bool,
     exact_routing: bool,
     need_count: bool,
+    sub_pack: int,
     out_dtypes: Tuple,
 ):
     ins = refs[:num_state]
@@ -155,7 +156,10 @@ def _kernel(
     p = pl.program_id(0)
     s = s_ref[p]
     e = e_ref[p]
-    base = block_ref[p] * block_rows
+    # `block_rows` counts PHYSICAL rows; with lane packing
+    # (sub_pack > 1) each physical row holds `sub_pack` logical rows,
+    # so a block covers block_rows·sub_pack logical ids.
+    base = block_ref[p] * (block_rows * sub_pack)
     is_first = jnp.logical_or(p == 0, block_ref[p] != block_ref[p - 1])
     is_last = jnp.logical_or(
         p == num_pairs - 1, block_ref[p] != block_ref[p + 1]
@@ -177,28 +181,68 @@ def _kernel(
         jnp.int32, (chunk, 1), 0
     )
     local = jnp.where((idx >= s) & (idx < e), ids - base, -1)
-    rows = lax.broadcasted_iota(jnp.int32, (chunk, block_rows), 1)
-    onehot_t = (local == rows).astype(jnp.bfloat16)  # [chunk, R]
-    # Near-f32 routing at ONE MXU pass: the one-hot side is EXACT in
-    # bf16 (0.0/1.0), so only the gradient side needs splitting —
-    # g = hi + lo with both parts bf16 gives each product exactly and
-    # ~16 mantissa bits on the sum (f32 accumulation). hi and lo PACK
-    # into the same matmul operand (lanes [0, d) and [d, 2d)), so at
-    # d = 64 exact routing fills exactly one 128-lane tile and costs
-    # what a single lossy bf16 pass otherwise would. The ones lane
-    # (per-row multiplicity for decay rules' count mask) ships only
-    # when the rule reads it — SGD/Adagrad are gradient-homogeneous
-    # (g = 0 is already an identity), so their headline path skips it.
-    gd = lax.bitcast_convert_type(aug_ref[:, :d], jnp.float32)
-    g_hi = gd.astype(jnp.bfloat16)
-    parts = [g_hi]
-    if exact_routing:
-        parts.append((gd - g_hi.astype(jnp.float32)).astype(jnp.bfloat16))
-    if need_count:
-        parts.append(jnp.ones((chunk, 1), jnp.bfloat16))
-    packed = parts[0] if len(parts) == 1 else jnp.concatenate(
-        parts, axis=1
-    )
+    dp = sub_pack * d                   # physical (packed) row width
+    if sub_pack > 1:
+        # Lane-packed routing: logical row `l` lives at physical row
+        # l // sub_pack, lane group l % sub_pack. The one-hot compares
+        # PHYSICAL rows — sub_pack× fewer compare/select elements than
+        # routing logical rows, the term that dominated the kernel at
+        # narrow dims (V·chunk routing work; docs/PARITY.md round 5) —
+        # and the gradient operand widens to the full 128-lane tile by
+        # placing each update at its lane group, so the routing matmul
+        # runs at full MXU tile utilization where the unpacked d=32
+        # form filled only a quarter tile. Masked entries (local = -1)
+        # get phys = -1, matching no row.
+        phys = lax.div(local, sub_pack)
+        sub = local - phys * sub_pack
+        rows = lax.broadcasted_iota(jnp.int32, (chunk, block_rows), 1)
+        onehot_t = (phys == rows).astype(jnp.bfloat16)  # [chunk, R]
+        gd = lax.bitcast_convert_type(aug_ref[:, :d], jnp.float32)
+        g_hi = gd.astype(jnp.bfloat16)
+        group = lax.div(
+            lax.broadcasted_iota(jnp.int32, (chunk, dp), 1), d
+        )
+        in_group = group == sub                  # [chunk, dp]
+        zero = jnp.zeros((), jnp.bfloat16)
+        tile_hi = jnp.concatenate([g_hi] * sub_pack, axis=1)
+        parts = [jnp.where(in_group, tile_hi, zero)]
+        if exact_routing:
+            g_lo = (gd - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            tile_lo = jnp.concatenate([g_lo] * sub_pack, axis=1)
+            parts.append(jnp.where(in_group, tile_lo, zero))
+        if need_count:
+            # Per-LOGICAL-row multiplicity: a one-hot of the lane
+            # group, sub_pack lanes wide.
+            cnt_iota = lax.broadcasted_iota(
+                jnp.int32, (chunk, sub_pack), 1
+            )
+            parts.append((cnt_iota == sub).astype(jnp.bfloat16))
+        packed = jnp.concatenate(parts, axis=1)
+    else:
+        rows = lax.broadcasted_iota(jnp.int32, (chunk, block_rows), 1)
+        onehot_t = (local == rows).astype(jnp.bfloat16)  # [chunk, R]
+        # Near-f32 routing at ONE MXU pass: the one-hot side is EXACT in
+        # bf16 (0.0/1.0), so only the gradient side needs splitting —
+        # g = hi + lo with both parts bf16 gives each product exactly and
+        # ~16 mantissa bits on the sum (f32 accumulation). hi and lo PACK
+        # into the same matmul operand (lanes [0, d) and [d, 2d)), so at
+        # d = 64 exact routing fills exactly one 128-lane tile and costs
+        # what a single lossy bf16 pass otherwise would. The ones lane
+        # (per-row multiplicity for decay rules' count mask) ships only
+        # when the rule reads it — SGD/Adagrad are gradient-homogeneous
+        # (g = 0 is already an identity), so their headline path skips it.
+        gd = lax.bitcast_convert_type(aug_ref[:, :d], jnp.float32)
+        g_hi = gd.astype(jnp.bfloat16)
+        parts = [g_hi]
+        if exact_routing:
+            parts.append(
+                (gd - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            )
+        if need_count:
+            parts.append(jnp.ones((chunk, 1), jnp.bfloat16))
+        packed = parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts, axis=1
+        )
     contrib = lax.dot_general(
         onehot_t,
         packed,
@@ -209,14 +253,17 @@ def _kernel(
     def finish(acc):
         # The raw routed lanes fold here, ONCE per block (the per-chunk
         # path above only ever accumulates them): hi + lo sum and the
-        # count lane split out.
-        g = acc[:, :d]
+        # count lane(s) split out. Under lane packing `g` stays in the
+        # packed [R, sub_pack·d] layout — the state blocks are packed
+        # the same way, so elementwise rules apply unchanged — and
+        # `count` is [R, sub_pack], one lane per logical row.
+        g = acc[:, :dp]
         if exact_routing:
-            g = g + acc[:, d:2 * d]
+            g = g + acc[:, dp:2 * dp]
         if need_count:
-            count = acc[:, acc.shape[1] - 1:]
+            count = acc[:, acc.shape[1] - sub_pack:]
         else:
-            count = jnp.zeros((block_rows, 1), jnp.float32)
+            count = jnp.zeros((block_rows, sub_pack), jnp.float32)
         # Rules always compute in f32; sub-f32 state (bf16 tables)
         # upcasts here and rounds on write-back below.
         args = [[i[...].astype(jnp.float32) for i in ins], g, count]
@@ -293,6 +340,7 @@ def sorted_block_apply(
     exact_routing: bool = True,
     need_count: bool = True,
     grad_dim: Optional[int] = None,
+    sub_pack: int = 1,
     interpret: bool = False,
     _alias: bool = True,
 ) -> Tuple[Array, ...]:
@@ -337,13 +385,25 @@ def sorted_block_apply(
         V). Smaller blocks help when updates are sparse relative to V
         (fewer untouched rows streamed); bigger blocks amortize DMA.
       chunk: update rows per DMA / routing matmul.
+      sub_pack: logical rows per PHYSICAL state row (lane packing).
+        With sub_pack = p > 1 every state array stores p consecutive
+        logical rows side by side in one p·d-lane physical row
+        (`table.reshape(V // p, p * d)` of the logical layout), ids and
+        grads stay LOGICAL ([n] ids in [0, V), [n, d] grads), and the
+        kernel routes each update to (physical row, lane group). This
+        is the narrow-dim fast path: routing compares physical rows
+        (p× less one-hot work) and the routing matmul fills full
+        128-lane tiles. Rowwise slot planes pack to [V/p, p].
       interpret: run interpreted (CPU tests).
 
     Returns:
       Updated state arrays.
     """
-    v = states[0].shape[0]
-    d = grad_dim if grad_dim is not None else states[0].shape[1]
+    v = states[0].shape[0]          # PHYSICAL rows
+    if grad_dim is not None:
+        d = grad_dim
+    else:
+        d = states[0].shape[1] // sub_pack
     n = sorted_ids.shape[0]
     # Slot planes may be NARROWER than the table (e.g. rowwise
     # Adagrad's [V, 1] scalar accumulator — 1/d the slot HBM traffic),
@@ -355,15 +415,26 @@ def sorted_block_apply(
     # exercised by the kernel rules; reject others rather than hand an
     # untested shape to `block_update` (ValueError, not assert:
     # user-facing and `-O`-proof).
-    for i, st in enumerate(states):
-        w_ok = (1, d, states[0].shape[1]) if i == 0 else (1, d)
-        if st.shape[0] != v or st.shape[1] not in w_ok:
-            raise ValueError(
-                f"State plane shape {st.shape} is not supported: every "
-                f"plane must cover the table's {v} rows with width "
-                f"{d} (full), 1 (rowwise), or — for the first state — "
-                f"a packed width."
-            )
+    if sub_pack > 1:
+        for i, st in enumerate(states):
+            w_ok = (sub_pack, sub_pack * d)
+            if st.shape[0] != v or st.shape[1] not in w_ok:
+                raise ValueError(
+                    f"Packed state plane shape {st.shape} is not "
+                    f"supported: every plane must cover {v} physical "
+                    f"rows with width {sub_pack * d} (full) or "
+                    f"{sub_pack} (rowwise)."
+                )
+    else:
+        for i, st in enumerate(states):
+            w_ok = (1, d, states[0].shape[1]) if i == 0 else (1, d)
+            if st.shape[0] != v or st.shape[1] not in w_ok:
+                raise ValueError(
+                    f"State plane shape {st.shape} is not supported: "
+                    f"every plane must cover the table's {v} rows with "
+                    f"width {d} (full), 1 (rowwise), or — for the first "
+                    f"state — a packed width."
+                )
     use_sr = stochastic_round_seed is not None and any(
         st.dtype == jnp.bfloat16 for st in states
     )
@@ -375,6 +446,10 @@ def sorted_block_apply(
         )
     nb = v // br
     num_t = min(n, nb)
+    # Logical ids per block (= physical rows per block under no
+    # packing); all boundary math below runs in LOGICAL id space.
+    span = br * sub_pack
+    v_logical = v * sub_pack
 
     if nb <= n:
         # Dense boundary path (the common regime: more updates than
@@ -386,7 +461,7 @@ def sorted_block_apply(
         # small-op soup per step) disappears.
         bounds = jnp.searchsorted(
             sorted_ids,
-            jnp.arange(nb + 1, dtype=sorted_ids.dtype) * br,
+            jnp.arange(nb + 1, dtype=sorted_ids.dtype) * span,
             side="left",
         ).astype(jnp.int32)
         starts = bounds[:-1]
@@ -395,7 +470,7 @@ def sorted_block_apply(
         real = ends > starts
     else:
         blocks = jnp.where(
-            sorted_ids < v, sorted_ids // br, nb
+            sorted_ids < v_logical, sorted_ids // span, nb
         ).astype(jnp.int32)
         first = jnp.concatenate(
             [jnp.ones((1,), bool), blocks[1:] != blocks[:-1]]
@@ -406,10 +481,10 @@ def sorted_block_apply(
         real = touched < nb
         touched_safe = lax.cummax(jnp.where(real, touched, 0))
         starts = jnp.searchsorted(
-            sorted_ids, touched_safe * br, side="left"
+            sorted_ids, touched_safe * span, side="left"
         ).astype(jnp.int32)
         ends = jnp.searchsorted(
-            sorted_ids, (touched_safe + 1) * br, side="left"
+            sorted_ids, (touched_safe + 1) * span, side="left"
         ).astype(jnp.int32)
         starts = jnp.where(real, starts, 0)
         ends = jnp.where(real, ends, 0)
@@ -498,12 +573,16 @@ def sorted_block_apply(
         use_hw_rng=not interpret,
         exact_routing=exact_routing,
         need_count=need_count,
+        sub_pack=sub_pack,
         out_dtypes=tuple(st.dtype for st in states),
     )
-    # Routed lane count: [hi | lo?] grads + optional ones lane. The
+    # Routed lane count: [hi | lo?] grads + optional count lane(s). The
     # scratch accumulator holds RAW routed sums (hi/lo fold at block
     # finish), so multi-chunk accumulation touches exactly P lanes.
-    p_lanes = (2 * d if exact_routing else d) + (1 if need_count else 0)
+    dp = sub_pack * d
+    p_lanes = (2 * dp if exact_routing else dp) + (
+        sub_pack if need_count else 0
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(num_pairs,),
