@@ -37,16 +37,17 @@ FLOPs, as is standard.)
 Modes: the default scores in bf16 inputs with f32 accumulation — the
 standard TPU training numerics (the quality head-to-head in
 tools/reference_parity.py trains this path to reference-equal
-accuracy) — and stores the embedding tables in bf16 with
-stochastic-rounded updates and f32 optimizer slots: the production
-recipe for half-precision embedding training (unbiased updates;
-`tests/test_stochastic_rounding.py::test_bf16_sr_training_tracks_f32`
-shows it tracks f32 training), halving the gather and table-update HBM
-traffic — the step's dominant cost (see
-benchmarks/step_breakdown.py). BENCH_F32=1 keeps the scoring matmuls
-in f32; BENCH_F32_TABLES=1 keeps the tables f32; BENCH_BF16_SLOTS=1
-also stores optimizer slots in bf16 (more aggressive; quality-test it
-for your workload); BENCH_FUSED=1 uses the Pallas flash-CE loss kernel
+accuracy) — and stores the embedding tables AND optimizer slots in
+bf16 with stochastic-rounded updates, lane-packed storage, and
+hi-lane-only grad routing: the round-5 production numerics (unbiased
+updates; `tests/test_stochastic_rounding.py` shows bf16+SR tracks f32
+training, and the on-chip learnable-task gate trains to the same
+final loss as full-f32 — see docs/PARITY.md), which halve the gather
+and table/slot-update HBM traffic — the step's dominant cost.
+BENCH_F32=1 keeps the scoring matmuls in f32; BENCH_F32_TABLES=1
+keeps the tables f32; BENCH_F32_SLOTS=1 keeps slots f32;
+BENCH_EXACT_ROUTING=1 restores hi+lo exact grad routing (the engine's
+own default); BENCH_FUSED=1 uses the Pallas flash-CE loss kernel
 (XLA's own fusion is equally fast at this shape; the kernel's value is
 guaranteed O(B) loss memory). All modes print the same schema with
 "mode" distinguishing them.
@@ -113,7 +114,19 @@ def main():
     # B=4096, D=64), so the default is the unfused task.
     fused = os.environ.get("BENCH_FUSED") == "1"
     bf16_tables = os.environ.get("BENCH_F32_TABLES") != "1"
-    bf16_slots = os.environ.get("BENCH_BF16_SLOTS") == "1"
+    # bf16 optimizer slots with stochastic rounding are the default
+    # production numerics since round 5: under lane-packed storage they
+    # measure FASTER (7.62M vs 7.28M ex/s — the round-3 "mixed-dtype
+    # blocks cost more than the saved bandwidth" result inverted once
+    # state blocks became full-lane), and training quality is
+    # indistinguishable from f32 slots (on-chip 400-step learnable-task
+    # gate: identical final loss to 4 decimals; see
+    # tests/test_tpu_hardware.py quality gate + docs/PARITY.md).
+    # BENCH_F32_SLOTS=1 opts back out; BENCH_BF16_SLOTS is kept for
+    # compatibility and now redundant.
+    bf16_slots = (
+        os.environ.get("BENCH_F32_SLOTS") != "1" and not round1
+    )
     # Table stacking (one sort + one blocked-kernel sweep for all
     # same-(dim, optimizer) tables) is the engine's recommended
     # many-table configuration; it is bit-equal to unstacked
@@ -151,12 +164,18 @@ def main():
         slot_dtype=jnp.bfloat16 if bf16_slots else None,
         stack_tables=stacked,
         sparse_update_kernel=False if round1 else None,
-        # BENCH_FAST_ROUTING=1: hi-lane-only bf16 grad routing. Since
-        # the packed one-pass exact routing landed (hi+lo share the
-        # matmul; Adagrad's count-free path fits one 128-lane tile at
-        # d=64) this buys nothing at the headline shape — kept as a
-        # probe knob for wider-row configs.
-        exact_grad_routing=os.environ.get("BENCH_FAST_ROUTING") != "1",
+        # Hi-lane-only bf16 grad routing is the bench default since
+        # round 5: under lane packing (pack=2 at d=64) EXACT hi+lo
+        # routing needs 256 matmul lanes where hi-only needs 128, and
+        # the difference measures 8.29M vs 7.62M ex/s. The routed sums
+        # keep ~8 mantissa bits — the same precision the bf16 scoring
+        # matmuls already impose on the gradients upstream — and the
+        # on-chip learnable-task gate trains to the same final loss as
+        # full-f32 (4 decimals). BENCH_EXACT_ROUTING=1 opts back out;
+        # the ENGINE default stays exact.
+        exact_grad_routing=(
+            os.environ.get("BENCH_EXACT_ROUTING") == "1" or round1
+        ),
     )
     state = engine.init(jax.random.PRNGKey(0))
     task = tasks_lib.Retrieval(
@@ -296,7 +315,7 @@ def main():
     mode += "_bf16tables_sr" if bf16_tables else "_f32tables"
     if bf16_slots:
         mode += "_bf16slots"
-    if os.environ.get("BENCH_FAST_ROUTING") == "1":
+    if os.environ.get("BENCH_EXACT_ROUTING") != "1" and not round1:
         mode += "_fastrouting"
     mode += "_stacked" if stacked else "_unstacked"
     print(

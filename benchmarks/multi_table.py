@@ -37,6 +37,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--tables", type=int, default=26)
     p.add_argument("--dim", type=int, default=32)
+    p.add_argument(
+        "--production-numerics", action="store_true",
+        help="bench.py's round-5 defaults: bf16 slots (SR) and "
+        "hi-only grad routing (default: f32 slots, exact routing)",
+    )
     args = p.parse_args()
 
     import jax
@@ -106,7 +111,8 @@ def main():
     total_rows = sum(
         (v + 127) // 128 * 128 for v in vocabs
     )
-    sweep = 2 * total_rows * args.dim * (2 + 4)      # bf16 + f32 slot
+    slot_bytes = 2 if args.production_numerics else 4
+    sweep = 2 * total_rows * args.dim * (2 + slot_bytes)
     gathers = args.tables * BATCH * args.dim * 2
     grads = 2 * args.tables * BATCH * args.dim * 4
     floor_us = (sweep + gathers + grads) / 819e9 * 1e6
@@ -121,6 +127,10 @@ def main():
             fcs,
             optimizer=spec,
             dtype=jnp.bfloat16,
+            slot_dtype=(
+                jnp.bfloat16 if args.production_numerics else None
+            ),
+            exact_grad_routing=not args.production_numerics,
             stack_tables=stacked,
         )
         state = engine.init(jax.random.PRNGKey(0))

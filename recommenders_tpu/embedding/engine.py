@@ -125,12 +125,14 @@ class EmbeddingEngine:
         `row_sharding="div"`; tables with `max_unique_ids` stay solo
         (the bound is per-table). Checkpoints store the stacked layout —
         round-trip through `logical_tables` to move between stacked and
-        unstacked engines. Measured (v5e): +3% on a 2-table step and
-        1.57× on a 26-table Criteo-style step (docs/PARITY.md round 4 —
-        group storage pads to a 2048-row multiple so the update
-        kernel's block size never collapses), so turn it on for any
-        multi-table training workload; it stays opt-in only because
-        stacked state uses group-keyed table names.
+        unstacked engines. Measured (v5e): +3% on a 2-table step;
+        at 26 Criteo-style tables stacking won 1.57× in round 4, but
+        lane packing (round 5) shrank the per-table fixed costs it
+        amortizes and FLIPPED the regime — 26 independent per-table
+        kernels now beat the single serialized stacked sweep (4.39 vs
+        5.64 ms/step, docs/PARITY.md round 5). Measure your shape;
+        group storage pads so the update kernel's block size never
+        collapses either way.
       lane_pack: Store narrow-dim tables (d < 128, d | 128) lane-packed:
         128/d consecutive logical rows per physical 128-lane storage row
         (`[V·d/128, 128]` arrays; rowwise slots `[V·d/128, 128/d]`).
@@ -278,7 +280,12 @@ class EmbeddingEngine:
             # map inside member tables) and never stream: the kernel's
             # pair list only includes touched blocks.
             if len(members) > 1 or pack > 1:
-                target = 2048 * pack
+                # Packed storage pads to a 6144·pack multiple (lcm of
+                # the 2048 base block and the 3/2-upgraded 3072 block,
+                # per physical row): the auto-picker's 3·2^k upgrade
+                # then always divides, ≤0.5% extra rows at the scales
+                # where full blocks matter.
+                target = (6144 if pack > 1 else 2048) * pack
                 if rows < target:
                     target = 128 * pack
                 self._stack_pad[sname] = -rows % target

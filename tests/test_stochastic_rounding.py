@@ -198,6 +198,12 @@ class TestEngineWiring:
             ("f32", dict()),
             ("bf16_sr", dict(dtype=jnp.bfloat16,
                              sparse_update_kernel=True)),
+            # The round-5 headline numerics: bf16 slots + lane packing
+            # + hi-only routing must ALSO track the f32 path.
+            ("bf16_sr_slots_packed", dict(
+                dtype=jnp.bfloat16, slot_dtype=jnp.bfloat16,
+                sparse_update_kernel=True, lane_pack=True,
+                exact_grad_routing=False)),
         ):
             eng = self._engine(**kw)
             state = eng.init(jax.random.PRNGKey(1))
@@ -205,3 +211,6 @@ class TestEngineWiring:
                 state, l, _ = eng.grad_and_update(state, feats, loss)
             losses[name] = float(l)
         assert losses["bf16_sr"] < losses["f32"] * 3 + 1e-3, losses
+        assert (
+            losses["bf16_sr_slots_packed"] < losses["f32"] * 3 + 1e-3
+        ), losses
