@@ -937,7 +937,13 @@ class ScaNN(factorized_top_k.TopK):
         """Builds the index. A `jax.Array` corpus is built fully on
         device (k-means, packing, and quantization never leave HBM —
         one corpus upload total, the scaling requirement for 10M+ rows
-        behind a host link); NumPy input uses the host build path."""
+        behind a host link); NumPy input uses the host build path.
+
+        String identifiers stay host-side (the device index runs on
+        row positions; results decode on fetch — see the TopK base)."""
+        identifiers = self._intern_identifiers(
+            identifiers, np.shape(candidates)[0]
+        )
         if isinstance(candidates, jax.Array):
             return self._index_device(candidates, identifiers)
         if self._soar_lambda is not None:
@@ -1167,6 +1173,7 @@ class ScaNN(factorized_top_k.TopK):
         else:
             blocks = list(batches)
             factory = lambda: iter(blocks)  # noqa: E731
+        identifiers = self._intern_identifiers(identifiers, num_rows)
         if identifiers is not None:
             identifiers = jnp.asarray(identifiers)
             if identifiers.shape[0] != num_rows:
@@ -1324,8 +1331,8 @@ class ScaNN(factorized_top_k.TopK):
             ]
             scores = jnp.concatenate([p[0] for p in parts])[:qn]
             ids = jnp.concatenate([p[1] for p in parts])[:qn]
-            return scores, ids
-        return self._query_chunk(queries, k)
+            return self._decode(scores, ids)
+        return self._decode(*self._query_chunk(queries, k))
 
     def _query_chunk(
         self, queries: Array, k: int

@@ -14,9 +14,11 @@ TPU-native rebuild of the reference's factorized top-K layers
     on-device partitioned + quantized approximate index) and is re-exported
     here for API parity.
 
-Identifiers are integer arrays (JAX has no string tensors); callers with
-string ids should map them through a vocabulary first (see
-`recommenders_tpu.data.vocab`).
+Identifiers may be integer arrays (device-resident end to end) or host
+STRING arrays (parity with the reference's `tf.string` index surface):
+JAX has no string tensors, so string-identified indexes run on row
+positions device-side and decode results back to strings on the host —
+returned ids are then a NumPy string array. See the `TopK` docstring.
 """
 
 from __future__ import annotations
@@ -40,6 +42,14 @@ MIN_FLOAT = topk_ops.MIN_FLOAT
 _PAD_MULTIPLE = 128
 
 
+def _is_string_array(identifiers) -> bool:
+    """True for host arrays/sequences of str/bytes identifiers."""
+    if identifiers is None or isinstance(identifiers, jax.Array):
+        return False
+    arr = np.asarray(identifiers)
+    return arr.dtype.kind in ("U", "S", "O")
+
+
 class TopK(abc.ABC):
     """Interface for top-K retrieval layers.
 
@@ -47,10 +57,67 @@ class TopK(abc.ABC):
     (layers/factorized_top_k.py:140-301): `index` builds the index, calling
     the layer queries it, `query_with_exclusions` over-fetches and masks,
     `is_exact` reports whether scores are exact.
+
+    String identifiers (parity with the reference's `tf.string` index
+    surface, exercised by its oracle grid at
+    layers/factorized_top_k_test.py:36,185-193): JAX has no string
+    tensors, so `index`/`index_from_dataset` accept host string arrays
+    and keep them HOST-side — the device index runs on row positions,
+    and query results decode back to the indexed strings on fetch
+    (returned ids are then a NumPy string array, not a `jax.Array`).
+    `query_with_exclusions` accepts string exclusions and encodes them
+    before the device mask. Exports persist the table next to the
+    module (`utils/export.py` `identifiers.json`) so native-host
+    callers can decode row results the same way.
     """
 
     def __init__(self, k: int = 10) -> None:
         self._k = k
+        self._id_strings: Optional[np.ndarray] = None
+        self._id_lookup = None
+        self._suppress_decode = False
+
+    # --- Host-side string identifier support ------------------------------
+
+    def _intern_identifiers(self, identifiers, num_rows: int):
+        """Stores string identifiers host-side; returns the identifier
+        array the DEVICE index should use (None → row positions)."""
+        self._id_lookup = None
+        if _is_string_array(identifiers):
+            arr = np.asarray(identifiers)
+            if arr.ndim != 1 or arr.shape[0] != num_rows:
+                raise ValueError(
+                    f"identifiers must be a [num_rows] vector; got shape "
+                    f"{arr.shape} for {num_rows} rows."
+                )
+            self._id_strings = arr
+            return None
+        self._id_strings = None
+        return identifiers
+
+    def _decode(self, scores, rows):
+        """Maps row-position results back to string identifiers (host).
+        Identity when the index was built with numeric (or no)
+        identifiers."""
+        if self._id_strings is None or self._suppress_decode:
+            return scores, rows
+        return scores, np.take(
+            self._id_strings, np.asarray(rows), axis=0, mode="clip"
+        )
+
+    def _encode_ids(self, ids) -> Array:
+        """String identifiers → row positions (-1 for unknown, which
+        matches no candidate row)."""
+        if self._id_lookup is None:
+            self._id_lookup = {
+                s: i for i, s in enumerate(self._id_strings.tolist())
+            }
+        table = self._id_lookup
+        flat = np.asarray(
+            [table.get(s, -1) for s in np.asarray(ids).reshape(-1).tolist()],
+            dtype=np.int32,
+        )
+        return jnp.asarray(flat.reshape(np.asarray(ids).shape))
 
     @property
     def k(self) -> int:
@@ -84,7 +151,14 @@ class TopK(abc.ABC):
                     "The dataset must consistently yield candidate "
                     "embeddings or (identifiers, embeddings) tuples."
                 )
-            identifiers = jnp.concatenate([i for i, _ in batches], axis=0)
+            id_batches = [i for i, _ in batches]
+            if any(_is_string_array(i) for i in id_batches):
+                # String ids concatenate on host (no string tensors).
+                identifiers = np.concatenate(
+                    [np.asarray(i) for i in id_batches], axis=0
+                )
+            else:
+                identifiers = jnp.concatenate(id_batches, axis=0)
             embeddings = jnp.concatenate([e for _, e in batches], axis=0)
             return self.index(embeddings, identifiers)
         embeddings = jnp.concatenate(list(batches), axis=0)
@@ -106,9 +180,28 @@ class TopK(abc.ABC):
 
         Over-fetches `k + exclusions.shape[1]` candidates then drops the
         excluded ones (reference: layers/factorized_top_k.py:242-288).
+        String-identifier indexes accept string exclusions (encoded to
+        row positions before the device mask).
         """
+        exclusions = np.asarray(exclusions) if _is_string_array(
+            exclusions
+        ) else exclusions
         k = k if k is not None else self._k
         adjusted_k = k + exclusions.shape[1]
+        if self._id_strings is not None:
+            excl_rows = (
+                self._encode_ids(exclusions)
+                if _is_string_array(exclusions)
+                else jnp.asarray(exclusions)
+            )
+            self._suppress_decode = True
+            try:
+                scores, rows = self(queries, k=adjusted_k)
+            finally:
+                self._suppress_decode = False
+            return self._decode(
+                *topk_ops.exclude(scores, rows, excl_rows, k=k)
+            )
         scores, ids = self(queries, k=adjusted_k)
         return topk_ops.exclude(scores, ids, exclusions, k=k)
 
@@ -168,6 +261,9 @@ class BruteForce(TopK):
             raise ValueError(
                 f"The candidates tensor must be 2D (got {candidates.shape})."
             )
+        identifiers = self._intern_identifiers(
+            identifiers, candidates.shape[0]
+        )
         if identifiers is not None:
             identifiers = jnp.asarray(identifiers)
             if candidates.shape[0] != identifiers.shape[0]:
@@ -194,9 +290,9 @@ class BruteForce(TopK):
         if self.query_fn is not None:
             queries = self.query_fn(queries)
         k = min(k, self._num_candidates)
-        return _brute_force_query(
+        return self._decode(*_brute_force_query(
             queries, self._candidates, self._identifiers, self._valid, k
-        )
+        ))
 
     def is_exact(self) -> bool:
         return True
@@ -245,6 +341,9 @@ class Streaming(TopK):
     ) -> "Streaming":
         candidates = jnp.asarray(candidates)
         self._num_candidates = candidates.shape[0]
+        identifiers = self._intern_identifiers(
+            identifiers, candidates.shape[0]
+        )
         chunk = min(self._chunk_size, _round_up(self._num_candidates, 128))
         self._candidates, self._identifiers, self._valid = (
             topk_ops.pad_corpus(candidates, identifiers, chunk)
@@ -265,6 +364,11 @@ class Streaming(TopK):
             batches = list(candidates)
             self._dataset_factory = lambda: iter(batches)
         self._candidates = None
+        # String identifiers are discovered batch-by-batch during the
+        # streamed query (the factory may be re-streamed each call);
+        # start each stream with a clean slate.
+        self._id_strings = None
+        self._id_lookup = None
         return self
 
     def __call__(
@@ -275,14 +379,14 @@ class Streaming(TopK):
             queries = self.query_fn(queries)
         if self._candidates is not None:
             k = min(k, self._num_candidates)
-            return topk_ops.streaming_top_k(
+            return self._decode(*topk_ops.streaming_top_k(
                 queries,
                 self._candidates,
                 self._identifiers,
                 self._valid,
                 k=k,
                 chunk_size=self._chunk,
-            )
+            ))
         if self._dataset_factory is None:
             raise ValueError(
                 "The `index` method must be called first to "
@@ -308,11 +412,21 @@ class Streaming(TopK):
         q = queries.shape[0]
         state = None
         counter = 0
+        string_parts = []
 
         def to_device(batch, counter):
             if isinstance(batch, tuple):
                 ids, emb = batch
-                ids = jax.device_put(jnp.asarray(ids))
+                if _is_string_array(ids):
+                    # String ids stay host-side: the device merge runs
+                    # on row positions; results decode after the
+                    # stream (the factory yields a stable order).
+                    string_parts.append(np.asarray(ids))
+                    ids = counter + jnp.arange(
+                        np.shape(emb)[0], dtype=jnp.int32
+                    )
+                else:
+                    ids = jax.device_put(jnp.asarray(ids))
             else:
                 emb = batch
                 ids = counter + jnp.arange(
@@ -347,6 +461,17 @@ class Streaming(TopK):
                     jnp.zeros((q, k), dtype=ids.dtype),
                 )
             state = _streaming_merge_step(queries, emb, ids, state, k)
+        if string_parts:
+            strings = np.concatenate(string_parts, axis=0)
+            if strings.shape[0] != counter:
+                raise ValueError(
+                    "The dataset mixed string and non-string identifier "
+                    f"batches ({strings.shape[0]} string-identified rows "
+                    f"of {counter})."
+                )
+            self._id_strings = strings
+            self._id_lookup = None
+            return self._decode(*state)
         return state
 
     def is_exact(self) -> bool:
@@ -473,6 +598,9 @@ class Bucketed(TopK):
                 "the embeddings or use BruteForce."
             )
         self._num_candidates = candidates.shape[0]
+        identifiers = self._intern_identifiers(
+            identifiers, self._num_candidates
+        )
         if identifiers is not None:
             identifiers = jnp.asarray(identifiers)
             if identifiers.shape[0] != self._num_candidates:
@@ -540,6 +668,7 @@ class Bucketed(TopK):
         from recommenders_tpu.ops import quantization, scoring
 
         it = iter(batches() if callable(batches) else batches)
+        identifiers = self._intern_identifiers(identifiers, num_rows)
         if identifiers is not None:
             identifiers = jnp.asarray(identifiers)
             if identifiers.shape[0] != num_rows:
@@ -660,7 +789,7 @@ class Bucketed(TopK):
             )
         if self._identifiers is not None:
             return scores, jnp.take(self._identifiers, rows)
-        return scores, rows
+        return self._decode(scores, rows)
 
     def is_exact(self) -> bool:
         return False

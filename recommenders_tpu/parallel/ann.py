@@ -241,6 +241,7 @@ class ShardedBucketed(layers_ftk.TopK):
                 f"multiple of 128; got {candidates.shape[1]}."
             )
         n, d = candidates.shape
+        identifiers = self._intern_identifiers(identifiers, n)
         if identifiers is not None:
             identifiers = jnp.asarray(identifiers)
             if identifiers.shape[0] != n:
@@ -321,6 +322,7 @@ class ShardedBucketed(layers_ftk.TopK):
         from recommenders_tpu.ops import quantization
 
         it = iter(batches() if callable(batches) else batches)
+        identifiers = self._intern_identifiers(identifiers, num_rows)
         if identifiers is not None:
             identifiers = jnp.asarray(identifiers)
             if identifiers.shape[0] != num_rows:
@@ -529,7 +531,7 @@ class ShardedBucketed(layers_ftk.TopK):
             )
         if self._identifiers is not None:
             return scores, jnp.take(self._identifiers, rows)
-        return scores, rows
+        return self._decode(scores, rows)
 
     def is_exact(self) -> bool:
         return False
@@ -644,6 +646,9 @@ class ShardedScaNN(layers_ftk.TopK):
                 return self.index_streamed(
                     _batched(host), n_rows, identifiers=identifiers
                 )
+        identifiers = self._intern_identifiers(
+            identifiers, np.shape(candidates)[0]
+        )
         inner.index(candidates, identifiers)
         s = self._mesh.shape[self._axis]
         num_leaves = inner._centroids.shape[0]
@@ -747,6 +752,7 @@ class ShardedScaNN(layers_ftk.TopK):
         from recommenders_tpu.layers import approximate
 
         inner = self._scann
+        identifiers = self._intern_identifiers(identifiers, num_rows)
         if inner._soar_lambda is not None:
             raise ValueError(
                 "index_streamed does not support soar_lambda (SOAR "
@@ -1165,7 +1171,7 @@ class ShardedScaNN(layers_ftk.TopK):
         scores, ids = self._fns[k](queries, args)
         if pad:
             scores, ids = scores[:qn], ids[:qn]
-        return scores, ids
+        return self._decode(scores, ids)
 
     def is_exact(self) -> bool:
         return False

@@ -102,6 +102,9 @@ class ShardedBruteForce(layers_ftk.TopK):
                 f"The candidates tensor must be 2D (got {candidates.shape})."
             )
         self._num_candidates = candidates.shape[0]
+        identifiers = self._intern_identifiers(
+            identifiers, self._num_candidates
+        )
         axis_size = self._mesh.shape[self._axis]
         # Pad so every shard gets the same (lane-aligned) row count.
         multiple = axis_size * 128
@@ -129,9 +132,9 @@ class ShardedBruteForce(layers_ftk.TopK):
         k = min(k, self._num_candidates)
         if k not in self._fns:
             self._fns[k] = make_sharded_top_k(self._mesh, self._axis, k)
-        return self._fns[k](
+        return self._decode(*self._fns[k](
             queries, self._candidates, self._identifiers, self._valid
-        )
+        ))
 
     def is_exact(self) -> bool:
         return True

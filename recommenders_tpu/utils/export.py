@@ -31,6 +31,35 @@ _MLIR_FILE = "module.mlir"
 _DATA_FILE = "arrays.npz"
 _COMPILE_OPTIONS_FILE = "compile_options.pb"
 _BF16_KEYS = "__bf16_keys__"
+_STRING_IDS_FILE = "identifiers.json"
+
+
+def _save_string_ids(path: str, index) -> None:
+    """Persists a string-identified index's host-side id table.
+
+    The exported computation returns ROW positions (StableHLO has no
+    string tensors); `identifiers.json` is the row → string map, so any
+    consumer — `load_index` here, or a caller of the C++ PJRT host
+    (`native/pjrt_host.cc`), which prints row ids — can decode results
+    exactly like the in-process layer does."""
+    import json
+
+    strings = getattr(index, "_id_strings", None)
+    if strings is None:
+        return
+    with open(os.path.join(path, _STRING_IDS_FILE), "w") as f:
+        json.dump([str(s) for s in np.asarray(strings).tolist()], f)
+
+
+def load_identifier_strings(path: str):
+    """Returns the exported row → string identifier table, or None."""
+    import json
+
+    p = os.path.join(path, _STRING_IDS_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return np.asarray(json.load(f), dtype=np.str_)
 
 
 def _save_arrays(path: str, arrays: dict) -> None:
@@ -215,6 +244,7 @@ def export_index(
         if getattr(index, "_scales", None) is not None:
             arrays["scales"] = np.asarray(index._scales)
     _save_arrays(path, arrays)
+    _save_string_ids(path, index)
     export_fn(
         path, query, example_queries, candidates, identifiers, *extra,
         platforms=platforms,
@@ -222,9 +252,22 @@ def export_index(
 
 
 def load_index(path: str) -> Callable[[Array], Tuple[Array, Array]]:
-    """Loads an exported index; returns `queries → (scores, ids)`."""
+    """Loads an exported index; returns `queries → (scores, ids)`.
+
+    String-identified exports (see `_save_string_ids`) decode row
+    results back to the indexed strings — ids come back as a NumPy
+    string array, matching the in-process layer."""
     data = _load_arrays(path)
     call = load_fn(path)
+    strings = load_identifier_strings(path)
+
+    def _maybe_decode(scores, rows):
+        if strings is None:
+            return scores, rows
+        return scores, np.take(
+            strings, np.asarray(rows), axis=0, mode="clip"
+        )
+
     if "centroids" in data:  # ScaNN artifact.
         args = [
             data[name]
@@ -235,7 +278,7 @@ def load_index(path: str) -> Callable[[Array], Tuple[Array, Array]]:
         ]
 
         def serve_scann(queries):
-            return call(queries, *args)
+            return _maybe_decode(*call(queries, *args))
 
         return serve_scann
     candidates = data["candidates"]
@@ -247,7 +290,7 @@ def load_index(path: str) -> Callable[[Array], Tuple[Array, Array]]:
         extra += (data["valid"],)
 
     def serve(queries):
-        return call(queries, candidates, identifiers, *extra)
+        return _maybe_decode(*call(queries, candidates, identifiers, *extra))
 
     return serve
 
@@ -333,6 +376,7 @@ def _export_scann(
 
     os.makedirs(path, exist_ok=True)
     _save_arrays(path, arrays)
+    _save_string_ids(path, index)
     export_fn(
         path, query, example_queries, *(arrays[name] for name in names),
         platforms=platforms,

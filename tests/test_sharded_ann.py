@@ -507,3 +507,29 @@ def test_eager_index_delegates_oversized_host_corpus(monkeypatch):
         corpus
     )
     assert dev._rows_per_shard > 0
+
+
+def test_sharded_string_identifiers_decode():
+    """String ids on the sharded surfaces: results decode host-side."""
+    queries, corpus = _clustered(1024, 128, 8, seed=31)
+    names = np.asarray([f"sku-{i:05d}" for i in range(1024)])
+
+    idx = ann_lib.ShardedBucketed(k=10, buckets=256, chunk=512).index(
+        corpus, names
+    )
+    _, ids = idx(queries)
+    assert isinstance(ids, np.ndarray) and ids.dtype.kind == "U"
+    _, rows = ann_lib.ShardedBucketed(
+        k=10, buckets=256, chunk=512
+    ).index(corpus)(queries)
+    np.testing.assert_array_equal(ids, names[np.asarray(rows)])
+
+    sc = ann_lib.ShardedScaNN(
+        approximate.ScaNN(**_scann_params())
+    ).index(corpus, names)
+    _, ids = sc(queries)
+    assert ids.dtype.kind == "U"
+    _, rows = ann_lib.ShardedScaNN(
+        approximate.ScaNN(**_scann_params())
+    ).index(corpus)(queries)
+    np.testing.assert_array_equal(ids, names[np.asarray(rows)])

@@ -114,6 +114,115 @@ def test_query_with_exclusions_matches_oracle(kind, num_exclusions):
     np.testing.assert_array_equal(np.asarray(ids), expected)
 
 
+STRING_GRID = list(
+    itertools.product(
+        ("brute_force", "streaming", "sharded", "bucketed_exact",
+         "scann_exact"),
+        (1, 5),                  # k
+        (200, 512),              # num_candidates
+    )
+)
+
+
+@pytest.mark.parametrize("kind,k,num_candidates", STRING_GRID)
+def test_index_with_string_identifiers_matches_oracle(
+    kind, k, num_candidates
+):
+    """The reference's oracle grid runs `indices_dtype=str`
+    (factorized_top_k_test.py:36,185-193); string ids here live
+    host-side with device row positions, decoded on fetch."""
+    rng = np.random.RandomState(k * 100 + num_candidates)
+    candidates = rng.normal(size=(num_candidates, DIM)).astype(np.float32)
+    queries = rng.normal(size=(5, DIM)).astype(np.float32)
+    identifiers = np.asarray(
+        [f"item-{i * 3 + 11}" for i in range(num_candidates)]
+    )
+
+    index = _make_index(kind, k)
+    index.index(jnp.asarray(candidates), identifiers)
+    scores, ids = index(jnp.asarray(queries))
+    assert isinstance(ids, np.ndarray) and ids.dtype.kind == "U"
+
+    expected = _oracle(queries, candidates, identifiers, k)
+    np.testing.assert_array_equal(ids, expected)
+
+
+@pytest.mark.parametrize(
+    "kind", ("brute_force", "streaming", "sharded", "bucketed_exact",
+             "scann_exact")
+)
+def test_string_exclusions_match_oracle(kind):
+    rng = np.random.RandomState(23)
+    num_candidates, k = 300, 10
+    candidates = rng.normal(size=(num_candidates, DIM)).astype(np.float32)
+    queries = rng.normal(size=(6, DIM)).astype(np.float32)
+    identifiers = np.asarray([f"m{i}" for i in range(num_candidates)])
+
+    index = _make_index(kind, k)
+    index.index(jnp.asarray(candidates), identifiers)
+    _, base_ids = index(jnp.asarray(queries))
+    exclusions = np.asarray(base_ids)[:, :3]
+
+    scores, ids = index.query_with_exclusions(
+        jnp.asarray(queries), exclusions
+    )
+    expected = _oracle(
+        queries, candidates, identifiers, k, exclusions=exclusions
+    )
+    np.testing.assert_array_equal(np.asarray(ids), expected)
+
+
+def test_string_ids_from_dataset_and_streamed_query():
+    """(string ids, embeddings) dataset batches: eager concat build and
+    Streaming's host-streamed query path both decode."""
+    rng = np.random.RandomState(5)
+    candidates = rng.normal(size=(700, DIM)).astype(np.float32)
+    queries = rng.normal(size=(4, DIM)).astype(np.float32)
+    names = np.asarray([f"movie/{i}" for i in range(700)])
+    batches = [
+        (names[i:i + 128], jnp.asarray(candidates[i:i + 128]))
+        for i in range(0, 700, 128)
+    ]
+    expected = _oracle(queries, candidates, names, 15)
+
+    bf = factorized_top_k.BruteForce(k=15).index_from_dataset(batches)
+    _, ids = bf(jnp.asarray(queries))
+    np.testing.assert_array_equal(np.asarray(ids), expected)
+
+    st = factorized_top_k.Streaming(k=15)
+    st.index_from_dataset(lambda: iter(batches))
+    _, ids = st(jnp.asarray(queries))
+    np.testing.assert_array_equal(np.asarray(ids), expected)
+
+
+def test_scann_string_ids_export_roundtrip(tmp_path):
+    """String-identified ScaNN: query → export → load → query returns
+    the same strings (the id table persists as identifiers.json)."""
+    from recommenders_tpu.utils import export as export_lib
+
+    rng = np.random.RandomState(9)
+    candidates = rng.normal(size=(512, DIM)).astype(np.float32)
+    queries = rng.normal(size=(4, DIM)).astype(np.float32)
+    names = np.asarray([f"doc:{i:04d}" for i in range(512)])
+
+    index = approximate.ScaNN(
+        k=10, num_leaves=1, num_leaves_to_search=1
+    ).index(jnp.asarray(candidates), names)
+    scores, ids = index(jnp.asarray(queries))
+    expected = _oracle(queries, candidates, names, 10)
+    np.testing.assert_array_equal(np.asarray(ids), expected)
+
+    path = str(tmp_path / "scann_str")
+    export_lib.export_index(path, index, jnp.asarray(queries), k=10)
+    serve = export_lib.load_index(path)
+    s2, ids2 = serve(jnp.asarray(queries))
+    assert ids2.dtype.kind == "U"
+    np.testing.assert_array_equal(ids2, np.asarray(ids))
+    np.testing.assert_allclose(
+        np.asarray(s2), np.asarray(scores), rtol=1e-5
+    )
+
+
 def test_streaming_host_mode_in_grid():
     """Host-streamed Streaming (dataset mode) against the same oracle."""
     rng = np.random.RandomState(3)
