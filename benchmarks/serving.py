@@ -196,7 +196,11 @@ def _native_exported(args, ns, rng, corpus, queries):
                     kmeans_sample_size=1 << 21, training_iterations=8,
                 ).index(corpus)
             else:
-                index = ftk.Bucketed(k={args.k}).index(corpus)
+                cd = {args.native_corpus_dtype!r}
+                index = ftk.Bucketed(
+                    k={args.k},
+                    corpus_dtype=jnp.bfloat16 if cd == "bf16" else None,
+                ).index(corpus)
             ex.export_index(work + "/idx", index, jnp.asarray(queries),
                             k={args.k})
             es, ei = index(jnp.asarray(queries))
@@ -251,9 +255,11 @@ def _native_exported(args, ns, rng, corpus, queries):
         np.sort(pipe.outputs[0], axis=1), np.sort(last_scores, axis=1),
         rtol=2e-2, atol=1e-2,
     )
+    cd = f"_{args.native_corpus_dtype}" if args.native_corpus_dtype \
+        else ""
     out = {
         "config": (
-            f"native_{args.native_index}_{args.corpus}x{args.dim}"
+            f"native_{args.native_index}{cd}_{args.corpus}x{args.dim}"
         ),
         "native_qps": round(qps) if qps else None,
         "per_iter_ms": per_iter_ms,
@@ -290,6 +296,14 @@ def main():
         "scann (probe -> bucketed leaf fold, int8 anisotropic — the "
         "reference serializes its whole C++ searcher into the "
         "SavedModel the same way, factorized_top_k.py:728-730).",
+    )
+    parser.add_argument(
+        "--native-corpus-dtype", default=None,
+        choices=(None, "bf16"),
+        help="(--native, bucketed only) store the exported corpus in "
+        "bf16: halves the sweep's HBM traffic — the f32 native path "
+        "measured 67%% of an MXU floor that bf16 halves "
+        "(docs/PARITY.md native-host section).",
     )
     parser.add_argument(
         "--native",

@@ -50,9 +50,15 @@ def main(epochs: int = 2, batch_size: int = 4096):
     for name, value in metric.result(mstate).items():
         print(f"{name}: {float(value):.4f}")
 
-    # Serve: top-3 movies for one user.
-    scores, ids = index(queries[:1], k=3)
-    print("user 0 recommendations:", np.asarray(ids)[0].tolist())
+    # Serve: top-3 movies for one user, with STRING identifiers — the
+    # reference quickstart retrieves movie titles directly; string ids
+    # live host-side and results decode on fetch (see layers.TopK).
+    titles = np.asarray(
+        [f"Movie #{i}" for i in range(train.num_movies)]
+    )
+    named = factorized_top_k.BruteForce(k=100).index(candidates, titles)
+    scores, names = named(queries[:1], k=3)
+    print("user 0 recommendations:", names[0].tolist())
     return state
 
 

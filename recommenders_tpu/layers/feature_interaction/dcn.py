@@ -44,15 +44,14 @@ class Cross(nn.Module):
     def __call__(self, x0: Array, x: Optional[Array] = None) -> Array:
         if self.diag_scale < 0:
             raise ValueError(
-                "`diag_scale` should be non-negative. Got `diag_scale` = "
-                f"{self.diag_scale}"
+                f"diag_scale must be >= 0; got {self.diag_scale}."
             )
         if x is None:
             x = x0
         if x0.shape[-1] != x.shape[-1]:
             raise ValueError(
-                "`x0` and `x` dimension mismatch! Got `x0` dimension "
-                f"{x0.shape[-1]}, and x dimension {x.shape[-1]}."
+                f"x0 and x must share their last dimension; got "
+                f"{x0.shape[-1]} vs {x.shape[-1]}."
             )
         last_dim = x0.shape[-1]
         preact = activations_lib.get(self.preactivation)

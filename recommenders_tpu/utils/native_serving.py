@@ -251,8 +251,14 @@ def serve_exported_index(
     variant i % R, which defeats the remote result cache when timing.
     Outputs are the final iteration's.
     """
-    data = np.load(os.path.join(export_dir, "arrays.npz"))
-    if "centroids" in data.files:  # ScaNN artifact.
+    from recommenders_tpu.utils import export as export_lib
+
+    # _load_arrays (not raw np.load): bf16 arrays persist as uint16
+    # views + a key manifest, and the host protocol has a real BF16
+    # code — feeding the raw view would bind a U16 operand against a
+    # bf16 module input.
+    data = export_lib._load_arrays(export_dir)
+    if "centroids" in data:  # ScaNN artifact.
         # Presence-filtered in _export_scann's exact argument order —
         # including the bucketed path's flat_ids and the reorder pass's
         # corpus arrays: a missing operand binds the module's trailing
@@ -260,13 +266,13 @@ def serve_exported_index(
         names = [n for n in ("centroids", "leaf_embs", "leaf_scales",
                              "leaf_ids", "leaf_rows", "leaf_valid",
                              "flat_ids", "corpus", "corpus_identifiers")
-                 if n in data.files]
+                 if n in data]
         args = [data[n] for n in names]
     else:
         args = [data["candidates"], data["identifiers"]]
-        if "scales" in data.files:  # Quantized Bucketed artifact.
+        if "scales" in data:  # Quantized Bucketed artifact.
             args.append(data["scales"])
-        if "valid" in data.files:
+        if "valid" in data:
             args.append(data["valid"])
     module = os.path.join(export_dir, "module.mlir")
     co = os.path.join(export_dir, "compile_options.pb")

@@ -387,3 +387,43 @@ def test_export_records_kept_args_for_raw_mlir_hosts(tmp_path):
     args = [used, unused]
     filtered = [a for i, a in enumerate(args, start=1) if i in kept]
     assert len(filtered) == 1 and filtered[0] is used
+
+
+def test_bf16_export_arrays_restore_for_native_host(tmp_path):
+    """A bf16-corpus Bucketed export must reach the native host as
+    REAL bf16 tensors: `_save_arrays` persists bf16 as uint16 views,
+    and `serve_exported_index` must restore them before writing the
+    host tensor file (a raw np.load would bind a U16 operand against a
+    bf16 module input)."""
+    import ml_dtypes
+
+    from recommenders_tpu.layers import factorized_top_k
+    from recommenders_tpu.utils import export as export_lib
+    from recommenders_tpu.utils import native_serving as ns
+
+    rng = np.random.RandomState(0)
+    corpus = jnp.asarray(rng.normal(size=(2048, 128)), jnp.float32)
+    queries = jnp.asarray(rng.normal(size=(8, 128)), jnp.float32)
+    index = factorized_top_k.Bucketed(
+        k=5, buckets=512, chunk=512, corpus_dtype=jnp.bfloat16
+    ).index(corpus)
+    path = str(tmp_path / "bf16idx")
+    export_lib.export_index(path, index, queries, k=5)
+
+    data = export_lib._load_arrays(path)
+    assert data["candidates"].dtype == ml_dtypes.bfloat16
+
+    # The host tensor wire format round-trips bf16 (dtype code 3).
+    tpath = str(tmp_path / "t.bin")
+    ns.write_tensors(tpath, [data["candidates"][:4]])
+    (back,) = ns.read_tensors(tpath)
+    assert back.dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(
+        back.view(np.uint16), data["candidates"][:4].view(np.uint16)
+    )
+
+    # In-process load serves the exported bf16 computation.
+    serve = export_lib.load_index(path)
+    s, ids = serve(queries)
+    want_s, want_i = index(queries)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(want_i))

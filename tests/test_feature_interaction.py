@@ -63,7 +63,7 @@ def test_cross_negative_diag_scale_raises():
 
 def test_cross_dim_mismatch_raises():
     layer = fi.Cross()
-    with pytest.raises(ValueError, match="dimension mismatch"):
+    with pytest.raises(ValueError, match="share their last dimension"):
         layer.init(
             jax.random.PRNGKey(0), jnp.ones((1, 2)), jnp.ones((1, 3))
         )
