@@ -42,6 +42,14 @@ def main():
         help="bench.py's round-5 defaults: bf16 slots (SR) and "
         "hi-only grad routing (default: f32 slots, exact routing)",
     )
+    p.add_argument(
+        "--pipelined", action="store_true",
+        help="1-step-stale embedding pipelining "
+        "(engine.pipelined_grad_and_update): the pending sparse sweep "
+        "overlaps the next step's forward/loss — the reference's "
+        "pipeline_execution_with_tensor_core, the standard DLRM "
+        "production recipe.",
+    )
     args = p.parse_args()
 
     import jax
@@ -135,14 +143,37 @@ def main():
         )
         state = engine.init(jax.random.PRNGKey(0))
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def run(st, bs, engine=engine):
-            def body(st, b):
-                s, loss, _ = engine.grad_and_update(st, b, loss_of)
-                return s, loss
-            return jax.lax.scan(body, st, bs)
+        if args.pipelined:
 
-        carry = state
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def run(carry, bs, engine=engine):
+                def body(carry, b):
+                    st, pending = carry
+                    st, pending, loss, _ = (
+                        engine.pipelined_grad_and_update(
+                            st, pending, b, loss_of
+                        )
+                    )
+                    return (st, pending), loss
+                return jax.lax.scan(body, carry, bs)
+
+            prime = {k: v[0] for k, v in batches(1).items()}
+            st0, pending0, _, _ = jax.jit(
+                lambda st, b: engine.pipelined_grad_and_update(
+                    st, None, b, loss_of
+                )
+            )(state, prime)
+            carry = (st0, pending0)
+        else:
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def run(st, bs, engine=engine):
+                def body(st, b):
+                    s, loss, _ = engine.grad_and_update(st, b, loss_of)
+                    return s, loss
+                return jax.lax.scan(body, st, bs)
+
+            carry = state
         for n in (SHORT, LONG, SHORT):
             _, carry = timed(run, carry, n)
         ts, carry = timed(run, carry, SHORT)
