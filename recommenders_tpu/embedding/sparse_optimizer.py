@@ -349,41 +349,52 @@ def _apply_sparse_kernel(
             n_eff = min(n_eff, max_unique)
         chunk = 256 if n_eff >= 2048 else 128
     if block_rows is None:
-        # Largest power-of-two ≤ 2048 whose MODELED VMEM working set
-        # (in + out double-buffered blocks per state array, plus the
-        # routing scratch) stays within ~7 MB. The model underestimates
-        # Mosaic's real allocation by ~1.8× (measured: br=4096 d=64
-        # f32 2-state wants 19.4 MB against the model's 10.5), so 7 MB
-        # modeled ≈ 13 MB real on the 16 MB chip. Full v5e sweep at
-        # V=131072, n=4096, d=64 (benchmarks/_kernel_sweep.py,
-        # min-of-3 differenced): br=2048 chunk=128 ≈ 260 us f32 /
-        # 219 us bf16 per update (after the single-visit fast path +
-        # packed id lane), vs a measured pure block-copy streaming
-        # floor of ~188 us f32 for the same traffic
-        # (benchmarks/_alias_probe.py) — 1.4× the achievable floor;
-        # chunk 64/256 measure within noise of 128, smaller blocks
-        # lose to per-grid-step overhead.
-        #
-        # Per-state widths are summed individually (rowwise_adagrad's
-        # slot is [V, 1], not [V, d]) so wide-dim rowwise tables keep
-        # the full block_rows their actual working set affords; the
-        # 2·d term approximates the p_lanes routing scratch.
-        d = table.shape[1]
-        width_sum = d + sum(
-            int(slots[nm].shape[-1]) for nm in slot_names
+        import os
+
+        env_br = os.environ.get("RTPU_SPARSE_BLOCK_ROWS")
+        if env_br:
+            # Perf escape hatch for A/B tuning on real hardware; the
+            # auto model below picks well, but the tunnel's session
+            # variance makes controlled same-session sweeps valuable.
+            block_rows = int(env_br)
+    if block_rows is None:
+        # Largest power-of-two ≤ 4096 whose modeled VMEM working set
+        # fits a 12 MB budget (16 MB VMEM minus aug-chunk buffers and
+        # Mosaic overheads). The model accounts per state array with
+        # its REAL dtype and VMEM lane padding (a [br, w] block
+        # occupies ceil(w/128)·128 lanes in VMEM regardless of w), in
+        # + out double-buffered, plus the f32 routing scratch — which
+        # reproduces Mosaic's measured allocations: br=4096 d=64 f32
+        # 2-state predicts 18.9 MB vs 19.4 measured (the old f32-only
+        # model called it 10.5 and needed a fudge factor), and the
+        # round-5 packed bf16-slot configs predict ~10.5 MB at
+        # br=4096, which compiles and measures FASTEST (26-table
+        # packed sweep: br=4096 3191 us vs the old pick's 3571,
+        # /tmp-probe round 5; headline re-benched below). Fewer,
+        # bigger blocks win because per-grid-step pipeline overhead is
+        # ~0.7 us/pair (benchmarks/_kernel_floor_probe.py).
+        d_phys = table.shape[1]
+        p_lanes = (2 * d_phys if exact_routing else d_phys) + (
+            pack if needs_count else 0
         )
-        bytes_per_row = 4 * (4 * width_sum + 2 * d)
-        block_rows = 2048
-        while block_rows > 8 and block_rows * bytes_per_row > 7 << 20:
+
+        def lane_pad(w):
+            return -(-w // 128) * 128
+
+        row_bytes = sum(
+            4 * lane_pad(arr.shape[-1]) * arr.dtype.itemsize
+            for arr in (table, *(slots[nm] for nm in slot_names))
+        ) + 4 * lane_pad(p_lanes)
+        # 15 MB of the 16 MB VMEM: round 4 shipped br=3072 at d=64
+        # f32 slots — 14.6 MB by this model — for a full round of
+        # on-chip runs; the aug-chunk buffers are ~0.25 MB.
+        budget = 15 << 20
+        block_rows = 4096
+        while block_rows > 8 and block_rows * row_bytes > budget:
             block_rows //= 2
-        # 3/2× upgrade: per-grid-step pipeline overhead is ~0.7 us/pair
-        # (benchmarks/_kernel_floor_probe.py), so fewer, bigger blocks
-        # win whenever they fit — a 3·2^k block size that divides V
-        # cuts the sweep's step count 33% vs the 2^k pick (headline
-        # shape, measured: br=3072 307.8 us vs br=2048 328.1 us,
-        # median of 5). Gated at 8 MB modeled (≈14.4 MB real at the
-        # model's measured 1.8× underestimate) so it only fires where
-        # the smaller pick already left slack.
+        # 3/2× upgrade: a 3·2^k block size that divides V cuts the
+        # sweep's grid-step count 33% vs the 2^k pick (headline shape,
+        # measured round 4: br=3072 307.8 us vs br=2048 328.1 us).
         v_phys = table.shape[0]
         pick = sparse_apply._pick_block_rows(v_phys, block_rows)
         up = pick * 3 // 2
@@ -391,7 +402,7 @@ def _apply_sparse_kernel(
             pick
             and up % 8 == 0
             and v_phys % up == 0
-            and up * bytes_per_row <= 8 << 20
+            and up * row_bytes <= budget
         ):
             block_rows = up
     if sparse_apply._pick_block_rows(table.shape[0], block_rows) == 0:
