@@ -92,9 +92,12 @@ class EmbeddingEngine:
         sorted blocked Pallas kernel (`ops/sparse_apply.py`) instead of
         XLA scatters — the TensorCore stand-in for the reference's
         SparseCore update hardware. Default (None) auto-enables on TPU
-        for unsharded engines; pallas_call does not partition under
-        GSPMD, so meshed engines keep the scatter path (shard-local
-        callers that route ids themselves can force it on).
+        for unsharded engines. On a MESHED engine, True runs the
+        kernel SHARD-LOCAL inside shard_map (each shard rebases the
+        gathered id/grad list to its contiguous row range and sweeps
+        its own table shard — the SparseCore SPMD architecture;
+        pallas_call does not partition under plain GSPMD, which is why
+        the meshed default stays the scatter path).
       slot_dtype: Optimizer-slot dtype; None → f32 even for bf16 tables
         (accumulator sums must not be swallowed by bf16 rounding). Pass
         `jnp.bfloat16` to halve slot memory — safe with stochastic
@@ -171,11 +174,18 @@ class EmbeddingEngine:
                 "stack_tables requires row_sharding='div' (the mod "
                 "permutation is per-table)."
             )
-        if lane_pack and (mesh is not None or row_sharding == "mod"):
+        if lane_pack and row_sharding == "mod":
             raise ValueError(
-                "lane_pack requires an unsharded engine with "
-                "row_sharding='div' (packed state exists for the "
-                "blocked update kernel, which is shard-local)."
+                "lane_pack requires row_sharding='div' (packed rows "
+                "must stay contiguous per shard)."
+            )
+        if lane_pack and mesh is not None and sparse_update_kernel is not True:
+            raise ValueError(
+                "lane_pack on a meshed engine requires "
+                "sparse_update_kernel=True: packed state updates only "
+                "through the blocked kernel, which runs shard-local "
+                "inside shard_map (the GSPMD scatter path cannot "
+                "express sub-row lane writes)."
             )
         self.feature_configs = tuple(feature_configs)
         self.default_optimizer = optimizer or config_lib.OptimizerSpec()
@@ -443,9 +453,10 @@ class EmbeddingEngine:
             spec = self._spec(self._tables[members[0]])
             if sharding is not None:
                 slots[sname] = jax.jit(
-                    lambda t=table, s=spec: sparse_optimizer.init_slots(
-                        s, t, self.slot_dtype
-                    ),
+                    lambda t=table, s=spec, p=pack:
+                        sparse_optimizer.init_slots(
+                            s, t, self.slot_dtype, pack=p
+                        ),
                     out_shardings=None,
                 )()
             else:
@@ -662,6 +673,71 @@ class EmbeddingEngine:
         grads = scale[..., None] * act_grad[:, None, :]
         return ids.reshape(-1), grads.reshape(-1, act_grad.shape[-1])
 
+    def _sharded_kernel_apply(
+        self,
+        sname: str,
+        spec: config_lib.OptimizerSpec,
+        table: Array,
+        slots: Dict[str, Array],
+        ids: Array,
+        grads: Array,
+        step: Array,
+        sr_seed: Optional[Array],
+        max_unique: Optional[int],
+    ):
+        """Blocked-kernel update on a MESHED engine: shard_map wraps the
+        shard-local kernel, the SPMD architecture of the reference's
+        SparseCore engine (tpu_embedding_layer.py:40-76,808,835 — ids
+        route between chips, each core updates only the rows it owns).
+
+        Every shard receives the full (id, grad) list (GSPMD inserts
+        the all-gather when the caller's batch is data-sharded — the
+        same `[batch, dim]` exchange `parallel/embedding_lookup.py`
+        writes explicitly), rebases ids to its contiguous div-sharded
+        row range (foreign rows fall out of range and drop in the
+        kernel's routing), sorts, and sweeps its OWN table shard with
+        the blocked Pallas kernel. No cross-shard traffic beyond the
+        gradient exchange; the sweep stays shard-local.
+        """
+        mesh = self.mesh
+        ta = self.table_axis
+        pack = self._pack[sname]
+        P_ = P
+
+        has_seed = sr_seed is not None
+
+        def fn(table_shard, slot_shards, ids, grads, step, seed):
+            rows_logical = table_shard.shape[0] * pack
+            base = jax.lax.axis_index(ta) * rows_logical
+            # Foreign/negative ids land outside [0, rows_logical) and
+            # are dropped by the kernel's routing (sentinel row).
+            local = jnp.where(ids < 0, ids, ids - base)
+            shard_seed = (
+                seed + jax.lax.axis_index(ta).astype(jnp.int32)
+                * jnp.int32(7919)
+            ) if has_seed else None
+            return sparse_optimizer.apply_sparse(
+                spec, table_shard, slot_shards, local, grads, step,
+                max_unique=max_unique,
+                use_kernel=True,
+                sr_seed=shard_seed,
+                exact_routing=self.exact_grad_routing,
+                pack=pack,
+            )
+
+        slot_specs = {nm: P_(ta, None) for nm in slots}
+        seed = sr_seed if has_seed else jnp.int32(0)
+        return jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(
+                P_(ta, None), slot_specs, P_(), P_(None, None), P_(),
+                P_(),
+            ),
+            out_specs=(P_(ta, None), slot_specs),
+            check_vma=False,
+        )(table, slots, ids, grads, step, seed)
+
     def update(
         self,
         state: EngineState,
@@ -715,6 +791,15 @@ class EmbeddingEngine:
                 sr_seed = state.step * jnp.int32(1000003) + jnp.int32(
                     t_idx
                 )
+            if use_kernel and self.mesh is not None:
+                # Meshed engines run the kernel shard-local inside
+                # shard_map (pallas_call does not partition under
+                # GSPMD) — opt in with sparse_update_kernel=True.
+                tables[sname], slots[sname] = self._sharded_kernel_apply(
+                    sname, spec, tables[sname], slots[sname],
+                    ids, grads, state.step, sr_seed, max_unique,
+                )
+                continue
             tables[sname], slots[sname] = sparse_optimizer.apply_sparse(
                 spec, tables[sname], slots[sname], ids, grads, state.step,
                 max_unique=max_unique,

@@ -157,8 +157,12 @@ def test_lane_pack_rejects_meshed_and_scatter_paths():
     mesh = mesh_lib.create_mesh(
         shape=(jax.device_count(),), axis_names=(mesh_lib.MODEL_AXIS,)
     )
-    with pytest.raises(ValueError, match="lane_pack requires"):
+    # Meshed lane packing needs the shard_map kernel path explicitly.
+    with pytest.raises(ValueError, match="meshed engine requires"):
         engine_lib.EmbeddingEngine(fcs, mesh=mesh, lane_pack=True)
+    engine_lib.EmbeddingEngine(
+        fcs, mesh=mesh, lane_pack=True, sparse_update_kernel=True
+    )  # allowed: shard-local kernel (tests/test_meshed_kernel.py)
     # Packed state with the kernel disabled at update time must refuse
     # (the scatter formulation cannot express sub-row lane writes).
     eng = engine_lib.EmbeddingEngine(
