@@ -127,8 +127,8 @@ class EmbeddingEngine:
         offset; `logical_tables` returns per-table views. Requires
         `row_sharding="div"`; tables with `max_unique_ids` stay solo
         (the bound is per-table). Checkpoints store the stacked layout —
-        round-trip through `logical_tables` to move between stacked and
-        unstacked engines. Measured (v5e): +3% on a 2-table step;
+        move between layouts with `logical_state`/`state_from_logical`
+        (slots included). Measured (v5e): +3% on a 2-table step;
         at 26 Criteo-style tables stacking won 1.57× in round 4, but
         lane packing (round 5) shrank the per-table fixed costs it
         amortizes and FLIPPED the regime — 26 independent per-table
@@ -146,8 +146,8 @@ class EmbeddingEngine:
         Default (None) auto-enables wherever the kernel path runs
         (unsharded, div sharding, supported optimizer kinds); packed
         state requires the kernel (no scatter fallback). Checkpoints
-        store the packed layout — round-trip through `logical_tables`
-        to move between packed and unpacked engines.
+        store the packed layout — move between layouts with
+        `logical_state`/`state_from_logical` (slots included).
     """
 
     def __init__(
@@ -397,6 +397,113 @@ class EmbeddingEngine:
                 )
             out[name] = arr
         return out
+
+    # --- Cross-layout state movement --------------------------------------
+    #
+    # Engine state layout bakes in stacking, lane packing, and padding;
+    # `logical_state` / `state_from_logical` convert to and from a
+    # layout-free per-table representation so checkpoints move between
+    # engines with different layouts (stacked ↔ unstacked, packed ↔
+    # unpacked) WITHOUT losing optimizer slots — the counterpart of the
+    # reference engine's checkpoint-layout compatibility machinery
+    # (tpu_embedding_layer.py:499-533,940-967).
+
+    def _unpack_plane(self, arr: Array, sname: str, width: int) -> Array:
+        """Packed storage plane → logical row layout."""
+        pack = self._pack[sname]
+        if pack > 1:
+            arr = arr.reshape(arr.shape[0] * pack, width)
+        return arr
+
+    def logical_state(self, state: EngineState) -> Dict:
+        """`{"tables": {name: [V, d]}, "slots": {name: {slot: rows}},
+        "step": step}` — per-LOGICAL-table arrays, layout-free.
+
+        Rowwise slots come back `[V, 1]`, full-width slots `[V, d]`.
+        Scalar slots (clippy's clipping_factor) are per-storage and are
+        replicated to each member table. Requires "div" sharding (mod
+        layouts go through `logical_tables`' permutation instead).
+        """
+        if self.row_sharding == "mod" and self._num_shards() > 1:
+            raise ValueError(
+                "logical_state supports row_sharding='div'; mod "
+                "layouts are topology-bound (see logical_tables)."
+            )
+        tables = self.logical_tables(state)
+        slots: Dict[str, Dict[str, Array]] = {name: {} for name in tables}
+        for sname, members in self._storage_members.items():
+            storage_rows = state.tables[sname].shape[0]
+            for slot_name, arr in state.slots[sname].items():
+                if arr.ndim != 2 or arr.shape[0] != storage_rows:
+                    for name in members:   # scalar slot: replicate.
+                        slots[name][slot_name] = arr
+                    continue
+                pack = self._pack[sname]
+                width = arr.shape[1] // pack if pack > 1 else arr.shape[1]
+                flat = self._unpack_plane(arr, sname, width)
+                for name in members:
+                    tc = self._tables[name]
+                    _, offset = self._storage[name]
+                    slots[name][slot_name] = jax.lax.slice_in_dim(
+                        flat, offset, offset + self._padded_rows(tc),
+                        axis=0,
+                    )
+        return {"tables": tables, "slots": slots, "step": state.step}
+
+    def state_from_logical(self, logical: Dict) -> EngineState:
+        """Assembles THIS engine's `EngineState` from `logical_state`
+        output (possibly produced by an engine with a different
+        stacking/packing layout). Feature/table declarations and
+        optimizer specs must match."""
+        if self.row_sharding == "mod" and self._num_shards() > 1:
+            raise ValueError(
+                "state_from_logical supports row_sharding='div'."
+            )
+        tables: Dict[str, Array] = {}
+        slots: Dict[str, Dict[str, Array]] = {}
+        for sname, members in self._storage_members.items():
+            pack = self._pack[sname]
+            pad = self._stack_pad.get(sname, 0)
+            dim = self._tables[members[0]].dim
+
+            def assemble(parts, width, pad_rows=pad, pack=pack):
+                if pad_rows:
+                    parts = parts + [
+                        jnp.zeros((pad_rows, width), parts[0].dtype)
+                    ]
+                arr = parts[0] if len(parts) == 1 else jnp.concatenate(
+                    parts, axis=0
+                )
+                if pack > 1:
+                    arr = arr.reshape(arr.shape[0] // pack, width * pack)
+                return arr
+
+            tables[sname] = assemble(
+                [logical["tables"][m] for m in members], dim
+            )
+            slot_names = set()
+            for m in members:
+                slot_names |= set(logical["slots"][m])
+            sdict = {}
+            for slot_name in sorted(slot_names):
+                planes = [logical["slots"][m][slot_name] for m in members]
+                if planes[0].ndim != 2:
+                    sdict[slot_name] = planes[0]     # scalar slot.
+                    continue
+                sdict[slot_name] = assemble(planes, planes[0].shape[1])
+            slots[sname] = sdict
+            if self._sharding() is not None:
+                sharding = self._sharding()
+                tables[sname] = jax.device_put(tables[sname], sharding)
+                slots[sname] = {
+                    k: (jax.device_put(v, sharding) if v.ndim == 2 else v)
+                    for k, v in slots[sname].items()
+                }
+        return EngineState(
+            tables=tables,
+            slots=slots,
+            step=jnp.asarray(logical["step"], jnp.int32),
+        )
 
     # --- State ------------------------------------------------------------
 

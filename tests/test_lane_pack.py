@@ -175,3 +175,61 @@ def test_lane_pack_rejects_meshed_and_scatter_paths():
             st, {"f": ids},
             lambda acts: jnp.sum(jnp.square(acts["f"])),
         )
+
+
+def test_cross_layout_state_roundtrip():
+    """logical_state/state_from_logical move checkpoints between
+    stacked/packed layouts WITHOUT losing optimizer slots: training
+    continues identically after the conversion."""
+    def make(stacked, lane_pack):
+        fcs = (
+            cfg.FeatureConfig(
+                table=cfg.TableConfig(1000, 32, name="a"), name="fa"),
+            cfg.FeatureConfig(
+                table=cfg.TableConfig(3000, 32, name="b"), name="fb"),
+        )
+        return engine_lib.EmbeddingEngine(
+            fcs,
+            optimizer=cfg.OptimizerSpec(kind="adagrad", learning_rate=0.05),
+            stack_tables=stacked,
+            sparse_update_kernel=True,
+            lane_pack=lane_pack,
+            stochastic_rounding=False,
+        )
+
+    def loss_of(acts):
+        return sum(jnp.sum(jnp.square(a)) for a in acts.values())
+
+    r = np.random.RandomState(3)
+    batches = [
+        {"fa": jnp.asarray(r.randint(0, 1000, (64,)), jnp.int32),
+         "fb": jnp.asarray(r.randint(0, 3000, (64,)), jnp.int32)}
+        for _ in range(4)
+    ]
+
+    src = make(stacked=False, lane_pack=False)
+    st = src.init(jax.random.PRNGKey(2))
+    for b in batches[:2]:
+        st, _, _ = src.grad_and_update(st, b, loss_of)
+    logical = src.logical_state(st)
+
+    for stacked, lane_pack in ((True, True), (True, False), (False, True)):
+        dst = make(stacked, lane_pack)
+        st2 = dst.state_from_logical(logical)
+        # Continue training in BOTH engines; results must agree.
+        a, b2 = st, st2
+        for b in batches[2:]:
+            a, _, _ = src.grad_and_update(a, b, loss_of)
+            b2, _, _ = dst.grad_and_update(b2, b, loss_of)
+        want = {k: np.asarray(v) for k, v in src.logical_tables(a).items()}
+        got = {k: np.asarray(v) for k, v in dst.logical_tables(b2).items()}
+        for name in want:
+            np.testing.assert_array_equal(
+                got[name], want[name],
+                err_msg=f"stacked={stacked} pack={lane_pack} {name}")
+        # Slots survive the conversion (accumulators continue, not reset).
+        ls = dst.logical_state(b2)["slots"]
+        assert not np.allclose(
+            np.asarray(ls["a"]["accumulator"]),
+            0.1 * np.ones_like(np.asarray(ls["a"]["accumulator"])),
+        )
