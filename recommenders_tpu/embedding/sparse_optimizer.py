@@ -218,10 +218,15 @@ def _kernel_rule(
                 table, accum = states       # accum: [R, pack]
                 dp = g.shape[1]
                 grp = _group_matrix(dp, pack)
+                # HIGHEST precision: the MXU's default f32 matmul
+                # runs bf16 passes, which compiled-vs-interpret
+                # divergence on the chip exposed at 3e-4 (the on-chip
+                # packed-rules gate); these matmuls are tiny.
                 mean = jax.lax.dot_general(
                     jnp.square(g), grp,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 ) * (pack / dp)
                 new_accum = accum + mean
                 scale = jax.lax.rsqrt(new_accum + 1e-12)
@@ -229,6 +234,7 @@ def _kernel_rule(
                     scale, grp,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 return [table - sc[0] * g * scale_b, new_accum]
 
@@ -252,6 +258,7 @@ def _kernel_rule(
             count, _group_matrix(dp, pack),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     if spec.kind == "adam":

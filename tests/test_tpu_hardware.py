@@ -229,6 +229,63 @@ def test_sparse_apply_kernel_routing_on_chip():
     """)
 
 
+def test_lane_packed_kernel_rules_on_chip():
+    """COMPILED lane-packed kernel (sub_pack routing + pack-aware
+    rules) matches the unpacked engine on the chip, for every
+    optimizer kind the packed rules specialize (rowwise Adagrad's
+    group matmuls, Adam's count expand) — CPU interpret mode cannot
+    catch Mosaic-compile-only divergences in these paths (the round-3
+    denormal-flush lesson)."""
+    _run_on_tpu("""
+        import sys; sys.path.insert(0, ".")
+        import numpy as np, jax, jax.numpy as jnp
+        from recommenders_tpu.embedding import config as cfg
+        from recommenders_tpu.embedding import engine as engine_lib
+
+        def run(kind, lane_pack):
+            fcs = (
+                cfg.FeatureConfig(table=cfg.TableConfig(
+                    3000, 32, name="a"), name="fa"),
+                cfg.FeatureConfig(table=cfg.TableConfig(
+                    9000, 32, name="b"), name="fb"),
+            )
+            eng = engine_lib.EmbeddingEngine(
+                fcs,
+                optimizer=cfg.OptimizerSpec(kind=kind,
+                                            learning_rate=0.05),
+                dtype=jnp.float32, stack_tables=True,
+                sparse_update_kernel=True, lane_pack=lane_pack,
+                stochastic_rounding=False,
+            )
+            st = eng.init(jax.random.PRNGKey(1))
+            r = np.random.RandomState(5)
+            loss = lambda acts: sum(
+                jnp.sum(jnp.square(x)) for x in acts.values())
+            step = jax.jit(
+                lambda s, b: eng.grad_and_update(s, b, loss))
+            for _ in range(3):
+                b = {"fa": jnp.asarray(r.randint(0, 3000, (256,)),
+                                       jnp.int32),
+                     "fb": jnp.asarray(r.randint(0, 9000, (256,)),
+                                       jnp.int32)}
+                st, l, _ = step(st, b)
+            return {k: np.asarray(v)
+                    for k, v in eng.logical_tables(st).items()}
+
+        for kind in ("sgd", "adagrad", "rowwise_adagrad", "adam",
+                     "ftrl"):
+            base = run(kind, False)
+            packed = run(kind, True)
+            tol = 0 if kind in ("sgd", "adagrad") else 3e-5
+            for name in base:
+                np.testing.assert_allclose(
+                    packed[name], base[name], rtol=tol,
+                    atol=tol and 1e-7,
+                    err_msg=f"{kind} {name}")
+        print("packed rules compiled oracle ok")
+    """)
+
+
 def test_quantized_bucketed_kernel_compiled_on_chip():
     """The int8 dequantizing Bucketed kernel lowers through Mosaic and
     matches the jnp oracle with identical quantization inputs."""
