@@ -147,7 +147,17 @@ def main():
             ).astype(np.int32),
         }
 
-    spec = cfg.OptimizerSpec(kind="adagrad", learning_rate=0.1)
+    # BENCH_ROWWISE=1: rowwise Adagrad — ONE accumulator scalar per
+    # row (the FBGEMM/TorchRec DLRM production default; exceeds the
+    # reference's optimizer set). Cuts the update sweep's slot traffic
+    # from full-width to 1/dim; reported as its own mode because the
+    # adaptive rule differs from element-wise Adagrad (per-row mean
+    # square), not as the default headline.
+    rowwise = os.environ.get("BENCH_ROWWISE") == "1"
+    spec = cfg.OptimizerSpec(
+        kind="rowwise_adagrad" if rowwise else "adagrad",
+        learning_rate=0.1,
+    )
     engine = engine_lib.EmbeddingEngine(
         (
             cfg.FeatureConfig(
@@ -307,7 +317,8 @@ def main():
     rows = NUM_USERS + NUM_ITEMS
     tbytes = 2 if bf16_tables else 4
     sbytes = 2 if bf16_slots else 4
-    sweep = 2 * rows * DIM * (tbytes + sbytes)         # read + write
+    slot_width = 1 if rowwise else DIM
+    sweep = 2 * rows * (DIM * tbytes + slot_width * sbytes)  # r + w
     gathers = 2 * BATCH * DIM * tbytes                  # two features
     grads = 2 * 2 * BATCH * DIM * (2 if bf16 else 4)    # write + read
     hbm_bytes = sweep + gathers + grads
@@ -355,6 +366,8 @@ def main():
     if os.environ.get("BENCH_EXACT_ROUTING") != "1" and not round1:
         mode += "_fastrouting"
     mode += "_stacked" if stacked else "_unstacked"
+    if rowwise:
+        mode += "_rowwise"
     if pipelined:
         mode += "_pipelined"
     print(

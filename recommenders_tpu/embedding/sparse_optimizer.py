@@ -388,8 +388,23 @@ def _apply_sparse_kernel(
         def lane_pad(w):
             return -(-w // 128) * 128
 
+        def plane_bytes(arr):
+            w = arr.shape[-1]
+            if w > 8:
+                # Validated against real Mosaic allocations: d=64 f32
+                # 2-state at br=4096 predicts 18.9 MB vs 19.4 measured.
+                return 4 * lane_pad(w) * arr.dtype.itemsize
+            # Very narrow planes (rowwise slots, w = pack ≤ 8) measure
+            # FAR above the padded-lane model: a [6144, 2] bf16 slot
+            # plane pushed the kernel's real scoped-VMEM to 25.1 MB
+            # where full-width accounting predicts 15 (compile-time
+            # OOM, round 5). Charge them at f32 full-lane cost plus
+            # slack — empirical, calibrated so the rowwise headline
+            # picks br=3072 (fits, measured) and not 4096 (OOMs).
+            return 4 * 128 * 4 + 1024
+
         row_bytes = sum(
-            4 * lane_pad(arr.shape[-1]) * arr.dtype.itemsize
+            plane_bytes(arr)
             for arr in (table, *(slots[nm] for nm in slot_names))
         ) + 4 * lane_pad(p_lanes)
         # 15 MB of the 16 MB VMEM: round 4 shipped br=3072 at d=64
