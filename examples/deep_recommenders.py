@@ -19,7 +19,7 @@ import optax
 from recommenders_tpu import data, metrics, models
 
 
-def train_and_eval(train, test, mlp_units, epochs=4):
+def train_and_eval(train, test, mlp_units, epochs=3):
     model = models.TwoTowerRetrieval(
         query_tower=lambda: models.EmbeddingTower(
             train.num_users, 64, mlp_units=mlp_units
