@@ -19,7 +19,6 @@ Usage: python benchmarks/soar_vs_balance.py [--corpus 10000000]
 """
 
 import argparse
-import functools  # noqa: F401  (ann helpers expect it importable)
 import json
 import os
 import sys
@@ -54,7 +53,6 @@ def main():
     args = p.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
     from recommenders_tpu.layers import approximate
 
