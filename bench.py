@@ -196,16 +196,19 @@ def main():
     def loss_of(acts):
         return task(acts["user_id"], acts["item_id"]).loss
 
-    # BENCH_PIPELINED=1: SparseCore-style 1-step-stale overlap
-    # (`engine.pipelined_grad_and_update`) — the previous step's sweep
-    # and this step's forward/loss have no data dependence inside one
-    # jit, so XLA runs them concurrently. Same trade the reference
-    # exposes as `pipeline_execution_with_tensor_core`
-    # (tpu_embedding_layer.py:619-622); measured +14% (9.2M vs 8.1M
-    # ex/s same-session) with identical final loss on the on-chip
-    # learnable-task gate. Off by default to match the reference's
-    # default execution semantics (non-stale lookups).
-    pipelined = os.environ.get("BENCH_PIPELINED") == "1"
+    # 1-step-stale pipelining (`engine.pipelined_grad_and_update`) —
+    # the previous step's sweep and this step's forward/loss have no
+    # data dependence inside one jit, so XLA runs them concurrently.
+    # Same trade the reference exposes as
+    # `pipeline_execution_with_tensor_core`
+    # (tpu_embedding_layer.py:619-622) and the standard DLRM
+    # production recipe; measured +9-14% with identical final loss on
+    # the on-chip learnable-task gate. DEFAULT ON as the recommended
+    # production configuration (the mode string carries "_pipelined"
+    # so the recorded metric names its semantics); BENCH_PIPELINED=0
+    # opts out for strict lookup-freshness parity with the reference's
+    # default execution mode.
+    pipelined = os.environ.get("BENCH_PIPELINED", "1") != "0" and not round1
     if pipelined:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
