@@ -268,3 +268,89 @@ class TestRoutingPrecision:
             np.asarray(outs[False]), np.asarray(outs[True]),
             rtol=2e-2, atol=2e-3,
         )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_packed_kernel_fuzz_against_oracle(seed):
+    """Randomized shapes for the LANE-PACKED kernel path (sub_pack
+    routing, packed boundary math, packed count lanes) vs the numpy
+    oracle applied to the logical layout."""
+    rng = np.random.RandomState(1000 + seed)
+    d = int(rng.choice([16, 32, 64]))
+    pack = 128 // d
+    v = int(rng.choice([4, 8, 16])) * pack * 8  # divisible by pack & 8
+    n = int(rng.choice([24, 64, 160]))
+    br_choices = [b for b in (8, 16, 32) if (v // pack) % b == 0]
+    br = int(rng.choice(br_choices))
+    chunk = int(rng.choice([8, 16, 32]))
+    ids, grads, table, accum = _case(
+        seed, v, d, n, dup_frac=float(rng.rand() * 0.5),
+        pad_frac=float(rng.rand() * 0.3),
+    )
+    packed_states = (
+        jnp.asarray(table).reshape(v // pack, d * pack),
+        jnp.asarray(accum).reshape(v // pack, d * pack),
+    )
+    got = sparse_apply.sorted_block_apply(
+        packed_states,
+        jnp.asarray(ids),
+        jnp.asarray(grads),
+        _adagrad_rule(),
+        block_rows=br,
+        chunk=chunk,
+        sub_pack=pack,
+        interpret=True,
+    )
+    want = _oracle([table, accum], ids, grads, _np_adagrad(), v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g).reshape(v, d), w.astype(np.float32),
+            rtol=1e-4, atol=5e-5,
+            err_msg=f"d={d} v={v} n={n} br={br} chunk={chunk}",
+        )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_packed_decay_rule_count_lanes_fuzz(seed):
+    """Packed count lanes ([R, pack] one-hot of the sub-row) feed
+    decay rules correctly: only touched LOGICAL rows decay."""
+    rng = np.random.RandomState(2000 + seed)
+    d = int(rng.choice([16, 32]))
+    pack = 128 // d
+    v = 16 * pack * 4
+    n = 48
+    ids, grads, m, _ = _case(seed + 7, v, d, n, dup_frac=0.4,
+                             pad_frac=0.2)
+
+    def packed_decay(states, g, count, beta=0.9):
+        (mm,) = states
+        grp = (
+            jax.lax.broadcasted_iota(jnp.int32, (d * pack, pack), 0)
+            // d
+            == jax.lax.broadcasted_iota(jnp.int32, (d * pack, pack), 1)
+        ).astype(jnp.float32)
+        count_b = jax.lax.dot_general(
+            count, grp,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        touched = count_b > 0
+        return [jnp.where(touched, 0.9 * mm + 0.1 * g, mm)]
+
+    (got,) = sparse_apply.sorted_block_apply(
+        (jnp.asarray(m).reshape(v // pack, d * pack),),
+        jnp.asarray(ids),
+        jnp.asarray(grads),
+        packed_decay,
+        block_rows=16,
+        chunk=16,
+        sub_pack=pack,
+        need_count=True,
+        interpret=True,
+    )
+    (want,) = _oracle([m], ids, grads, _np_decay(), v)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(v, d), want.astype(np.float32),
+        rtol=1e-4, atol=5e-5,
+    )
