@@ -393,7 +393,14 @@ def _apply_sparse_kernel(
             if w > 8:
                 # Validated against real Mosaic allocations: d=64 f32
                 # 2-state at br=4096 predicts 18.9 MB vs 19.4 measured.
-                return 4 * lane_pad(w) * arr.dtype.itemsize
+                # itemsize clamps to 4: Mosaic stages bf16 state blocks
+                # at ~f32 cost — a bf16 2-state kernel modeled at
+                # 10.5 MB by true itemsize compiled at 16.07 MB scoped
+                # VMEM, 68 KB from the 16 MB cliff (one same-shape
+                # compile DID trip it, round 5); the clamp lands the
+                # same configs on br=3072, measured perf-neutral
+                # (same-session A/B tie) and ~4 MB clear of the limit.
+                return 4 * lane_pad(w) * max(arr.dtype.itemsize, 4)
             # Very narrow planes (rowwise slots, w = pack ≤ 8) measure
             # FAR above the padded-lane model: a [6144, 2] bf16 slot
             # plane pushed the kernel's real scoped-VMEM to 25.1 MB
