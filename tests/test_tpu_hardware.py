@@ -108,6 +108,48 @@ def test_native_host_serves_exported_index(tmp_path):
     )
 
 
+def test_native_host_serves_string_identified_index(tmp_path):
+    """String-identified export through the C++ host: the device module
+    returns ROW positions; the caller decodes via the persisted
+    identifiers.json exactly like `load_index` does (round-5 string-id
+    surface, reference factorized_top_k_test.py:185-193)."""
+    from recommenders_tpu.utils import export as ex
+    from recommenders_tpu.utils import native_serving as ns
+
+    assert ns.axon_available(), "axon plugin or host binary missing"
+    work = str(tmp_path)
+
+    _run_on_tpu(f"""
+        import sys; sys.path.insert(0, {REPO!r})
+        import numpy as np, jax.numpy as jnp
+        from recommenders_tpu.layers import factorized_top_k as ftk
+        from recommenders_tpu.utils import export as ex
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+        c = jnp.asarray(rng.normal(size=(512, 64)).astype(np.float32))
+        names = np.asarray([f"item:{{i:03d}}" for i in range(512)])
+        index = ftk.BruteForce(k=10).index(c, names)
+        es, ei = index(q)
+        assert ei.dtype.kind == "U"
+        ex.export_index({work!r} + "/bfs", index, q, k=10)
+        np.save({work!r} + "/qs.npy", np.asarray(q))
+        np.save({work!r} + "/expected_names.npy", ei)
+        print("phase A ok")
+    """)
+
+    res = ns.serve_exported_index(
+        os.path.join(work, "bfs"), np.load(os.path.join(work, "qs.npy"))
+    )
+    assert "ok" in res.stdout
+    _, rows = res.outputs
+    strings = ex.load_identifier_strings(os.path.join(work, "bfs"))
+    assert strings is not None
+    decoded = np.take(strings, np.asarray(rows), axis=0, mode="clip")
+    np.testing.assert_array_equal(
+        decoded, np.load(os.path.join(work, "expected_names.npy"))
+    )
+
+
 def test_bucketed_kernel_compiled_on_chip():
     """The Pallas kernel lowers through Mosaic and matches its oracle.
 
