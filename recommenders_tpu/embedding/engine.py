@@ -809,7 +809,6 @@ class EmbeddingEngine:
         mesh = self.mesh
         ta = self.table_axis
         pack = self._pack[sname]
-        P_ = P
 
         has_seed = sr_seed is not None
 
@@ -832,16 +831,16 @@ class EmbeddingEngine:
                 pack=pack,
             )
 
-        slot_specs = {nm: P_(ta, None) for nm in slots}
+        slot_specs = {nm: P(ta, None) for nm in slots}
         seed = sr_seed if has_seed else jnp.int32(0)
         return jax.shard_map(
             fn,
             mesh=mesh,
             in_specs=(
-                P_(ta, None), slot_specs, P_(), P_(None, None), P_(),
-                P_(),
+                P(ta, None), slot_specs, P(), P(None, None), P(),
+                P(),
             ),
-            out_specs=(P_(ta, None), slot_specs),
+            out_specs=(P(ta, None), slot_specs),
             check_vma=False,
         )(table, slots, ids, grads, step, seed)
 
