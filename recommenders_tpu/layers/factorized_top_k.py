@@ -188,17 +188,24 @@ class TopK(abc.ABC):
         ) else exclusions
         k = k if k is not None else self._k
         adjusted_k = k + exclusions.shape[1]
-        if self._id_strings is not None:
-            excl_rows = (
-                self._encode_ids(exclusions)
-                if _is_string_array(exclusions)
-                else jnp.asarray(exclusions)
-            )
+        if self._id_strings is not None or _is_string_array(exclusions):
+            # Query FIRST with decode suppressed: a host-streamed
+            # dataset index discovers its string id table during the
+            # stream, so string exclusions can only encode afterwards.
             self._suppress_decode = True
             try:
                 scores, rows = self(queries, k=adjusted_k)
             finally:
                 self._suppress_decode = False
+            if _is_string_array(exclusions):
+                if self._id_strings is None:
+                    raise ValueError(
+                        "String exclusions require a string-identified "
+                        "index (none was built)."
+                    )
+                excl_rows = self._encode_ids(exclusions)
+            else:
+                excl_rows = jnp.asarray(exclusions)
             return self._decode(
                 *topk_ops.exclude(scores, rows, excl_rows, k=k)
             )

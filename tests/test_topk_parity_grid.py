@@ -237,3 +237,25 @@ def test_streaming_host_mode_in_grid():
         queries, candidates, np.arange(700, dtype=np.int32), 25
     )
     np.testing.assert_array_equal(np.asarray(ids), expected)
+
+
+def test_streamed_dataset_string_exclusions_first_call():
+    """query_with_exclusions with STRING exclusions as the very first
+    query on a host-streamed dataset index: the string id table is
+    only discovered during the stream, so the query must run (decode
+    suppressed) before exclusions encode."""
+    rng = np.random.RandomState(11)
+    candidates = rng.normal(size=(500, DIM)).astype(np.float32)
+    queries = rng.normal(size=(4, DIM)).astype(np.float32)
+    names = np.asarray([f"n{i}" for i in range(500)])
+    batches = [
+        (names[i:i + 128], jnp.asarray(candidates[i:i + 128]))
+        for i in range(0, 500, 128)
+    ]
+    st = factorized_top_k.Streaming(k=10)
+    st.index_from_dataset(lambda: iter(batches))
+    # Exclusions = the true top-2 per row, computed independently.
+    top2 = _oracle(queries, candidates, names, 2)
+    scores, ids = st.query_with_exclusions(jnp.asarray(queries), top2)
+    expected = _oracle(queries, candidates, names, 10, exclusions=top2)
+    np.testing.assert_array_equal(np.asarray(ids), expected)
