@@ -818,7 +818,10 @@ class ScaNN(factorized_top_k.TopK):
         capacity SPILL — rows packed into leaves the prober never
         visits — so balancing trades a little quantization optimality
         for probed recall (the 100M-on-one-chip regime; see
-        docs/PARITY.md).
+        docs/PARITY.md). A PINCH dial: ~1/16 is the tuned regime
+        (100M flagship: 0.0625 → recall 0.974); large fractions
+        over-reseed the centroids every iteration and cost recall
+        (0.3 measured 0.882 at the same configuration).
       assign_chunk: Corpus rows per assignment block in the device
         build; bounds the `[chunk, num_leaves]` affinity transient.
       spill_rounds: Overflow rows may spill to at most this many
