@@ -74,9 +74,13 @@ def _logical(eng, st):
     }
 
 
-@pytest.mark.parametrize("kind", ["sgd", "adagrad", "rowwise_adagrad"])
+@pytest.mark.parametrize(
+    "kind", ["sgd", "adagrad", "rowwise_adagrad", "adam"]
+)
 @pytest.mark.parametrize("lane_pack", [False, True])
 def test_meshed_kernel_matches_single_device(kind, lane_pack):
+    # adam covers the decay-rule count mask across shards: rows whose
+    # updates all belong to OTHER shards must not decay locally.
     base = _logical(*_run(None, kind, lane_pack))
     got = _logical(*_run(_mesh(), kind, lane_pack))
     for name in base:
